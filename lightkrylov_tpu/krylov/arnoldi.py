@@ -1,0 +1,147 @@
+"""Arnoldi factorization ``A X_k = X_{k+1} H_k``.
+
+TPU-native counterpart of ``src/Krylov/arnoldi.fypp``: block Arnoldi with
+CGS2 orthogonalization against all previous columns, intra-block QR for
+block size p > 1, incremental ``kstart/kend`` semantics for restart loops,
+``transpose`` mode, and invariant-subspace breakdown signalled through
+``info`` (reference: arnoldi.fypp:34-73; breakdown at :58-71).
+
+Implementation: one jitted ``lax.while_loop`` with fixed-size stacked
+buffers.  ``kstart``/``kend`` are *dynamic* device scalars so the same
+compiled executable serves every Krylov-Schur restart cycle regardless of
+the compression size (SURVEY.md §7 hard-parts list).  Unfilled buffer
+columns are exactly zero, making unmasked CGS2 projections exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants, vectors
+from .gram_schmidt import double_gram_schmidt_step
+from .qr import qr as _qr
+
+__all__ = ["arnoldi", "arnoldi_step", "initialize_arnoldi"]
+
+
+def initialize_arnoldi(x0, kdim: int):
+    """Allocate the (kdim+1)-column basis buffer and (kdim+1, kdim)
+    Hessenberg, seeding column 0 with normalized ``x0`` (reference:
+    ``initialize_krylov_subspace``, utilities.fypp:34-48)."""
+    dt = vectors.dtype_of(x0)
+    X = vectors.zeros_basis(x0, kdim + 1)
+    x0n = vectors.scal(1.0 / vectors.norm(x0), x0)
+    X = vectors.set_column(X, 0, x0n)
+    H = jnp.zeros((kdim + 1, kdim), dt)
+    return X, H
+
+
+def arnoldi_step(A, X, H, k, transpose: bool = False, tol: float = 0.0):
+    """One Arnoldi step: extend a k-column factorization to k+1
+    (0-based ``k``; column ``k`` of X must be filled).
+
+    Returns ``(X, H, beta)`` with ``H[:, k]`` the CGS2 coefficients,
+    ``H[k+1, k] = beta`` and ``X[:, k+1]`` the next unit vector (zero on
+    breakdown, keeping the buffer invariant) —
+    (reference: arnoldi.fypp:34-73 for p = 1).
+    """
+    dt = vectors.dtype_of(X)
+    xk = vectors.get_column(X, k)
+    v = A.rmatvec(xk) if transpose else A.matvec(xk)
+    v, proj = double_gram_schmidt_step(v, X)
+    beta = vectors.norm(v)
+    ok = beta > tol
+    inv = jnp.where(ok, 1.0 / jnp.where(beta == 0, 1.0, beta), 0.0)
+    v = vectors.scal(inv.astype(constants.real_dtype_of(dt)), v)
+    H = H.at[:, k].set(proj.astype(dt))
+    H = H.at[k + 1, k].set(jnp.where(ok, beta.astype(dt), jnp.zeros((), dt)))
+    X = vectors.set_column(X, k + 1, v)
+    return X, H, beta
+
+
+def arnoldi(A, X, H, kstart=1, kend=None, transpose: bool = False, tol: float | None = None):
+    """Grow the Arnoldi factorization from ``kstart`` to ``kend``
+    (1-based, inclusive, matching the reference's calling convention,
+    arnoldi.fypp:8-33).
+
+    Returns ``(X, H, info)``: ``info = k`` (1-based) if an invariant
+    subspace was found at step k (``beta <= tol``), else 0 —
+    (reference: arnoldi.fypp:66-71).
+
+    ``kstart``/``kend`` may be traced scalars; the loop is a
+    ``lax.while_loop`` so a single compilation covers every restart cycle.
+    """
+    kdim = H.shape[1]
+    if kend is None:
+        kend = kdim
+    dt = vectors.dtype_of(X)
+    if tol is None:
+        tol = constants.atol(constants.real_dtype_of(dt))
+
+    kstart = jnp.asarray(kstart, jnp.int32)
+    kend = jnp.asarray(kend, jnp.int32)
+
+    def cond(carry):
+        X, H, k, info = carry
+        return (k < kend) & (info == 0)
+
+    def body(carry):
+        X, H, k, info = carry
+        X, H, beta = arnoldi_step(A, X, H, k, transpose=transpose, tol=tol)
+        info = jnp.where(beta <= tol, k + 1, info).astype(jnp.int32)
+        return X, H, k + 1, info
+
+    X, H, _, info = jax.lax.while_loop(
+        cond, body, (X, H, kstart - 1, jnp.zeros((), jnp.int32))
+    )
+    return X, H, info
+
+
+def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
+                  tol: float | None = None, key=None):
+    """Block Arnoldi with block size ``p``: at each block step, matvec the
+    newest block, CGS2 against all previous columns filling
+    ``H[:kp, kp-p:kp]``, then intra-block QR filling the subdiagonal block
+    (reference: arnoldi.fypp:34-73 with blksize p > 1; residual = min diag
+    of the new block's R).
+
+    ``X`` holds ``kdim + p`` stacked columns, ``H`` is
+    ``(kdim + p, kdim)`` with ``kdim = n_blocks * p``.  Static block loop
+    (block count is small); returns ``(X, H, info)``.
+    """
+    kdim = H.shape[1]
+    assert kdim % p == 0, "kdim must be a multiple of the block size"
+    n_blocks = kdim // p
+    dt = vectors.dtype_of(X)
+    if tol is None:
+        tol = constants.atol(constants.real_dtype_of(dt))
+    k0 = (int(kstart) - 1) // p
+    k1 = n_blocks if kend is None else int(kend) // p
+    info = jnp.zeros((), jnp.int32)
+
+    for b in range(k0, k1):
+        cols = list(range(b * p, (b + 1) * p))
+        # matvec the current block
+        blk = vectors.stack([
+            (A.rmatvec if transpose else A.matvec)(vectors.get_column(X, c))
+            for c in cols
+        ])
+        # CGS2 against every previous column
+        blk, proj = double_gram_schmidt_step(blk, X)
+        H = jax.lax.dynamic_update_slice(
+            H, proj.astype(dt), (jnp.int32(0), jnp.int32(b * p))
+        )
+        # intra-block QR
+        Q, R, qinfo = _qr(blk, tol=tol, key=key)
+        for i, c in enumerate(cols):
+            X = vectors.set_column(X, (b + 1) * p + i, vectors.get_column(Q, i))
+        H = jax.lax.dynamic_update_slice(
+            H, R.astype(dt), (jnp.int32((b + 1) * p), jnp.int32(b * p))
+        )
+        # breakdown: smallest diagonal of R below tol
+        res = jnp.min(jnp.abs(jnp.diagonal(R)))
+        info = jnp.where((info == 0) & (res <= tol), (b + 1) * p, info).astype(jnp.int32)
+    return X, H, info

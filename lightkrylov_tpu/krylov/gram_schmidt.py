@@ -1,0 +1,64 @@
+"""Classical Gram-Schmidt with re-orthogonalization (CGS2).
+
+TPU-native counterpart of ``src/Krylov/gram_schmidt.fypp``: classical GS
+projection of a vector (or block) against an orthonormal basis —
+``proj = innerprod(X, y); y -= X proj`` (gram_schmidt.fypp:141-146,187-192) —
+and ``double_gram_schmidt_step`` = two passes with coefficients summed
+(CGS2, gram_schmidt.fypp:38-49,85-97).
+
+The TPU design point (SURVEY.md §2 item 3): the k inner products of one pass
+are batched into a *single* reshaped matmul via :func:`vectors.innerprod`,
+so on a sharded mesh each CGS pass costs exactly one fused all-reduce —
+the "low-synch" property the reference obtains only implicitly through
+its abstract ``innerprod``.
+
+Buffer convention: the basis ``X`` is a fixed-size stacked buffer whose
+unfilled columns are exactly zero; projections against the full buffer are
+then algebraically exact without masks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import vectors
+
+__all__ = [
+    "orthogonalize_against_basis",
+    "double_gram_schmidt_step",
+]
+
+
+def orthogonalize_against_basis(y, X):
+    """Single CGS pass: project ``y`` (vector or stacked block) against the
+    basis buffer ``X`` and subtract.
+
+    Returns ``(y_orth, proj)`` where ``proj = X^H y`` has shape ``(m,)`` for a
+    vector or ``(m, p)`` for a block (reference:
+    gram_schmidt.fypp:141-146,187-192).
+    """
+    proj = vectors.innerprod(X, y)
+    if proj.ndim == 1:
+        correction = vectors.linear_combination(X, proj)
+    else:
+        # block: proj is (m, p); linear_combination wants (m, p) -> basis p
+        correction = vectors.linear_combination(X, proj)
+    y_orth = vectors.axpby(1.0, y, -1.0, correction) if proj.ndim == 1 else \
+        vectors.axpby_basis(1.0, y, -1.0, correction)
+    return y_orth, proj
+
+
+def double_gram_schmidt_step(y, X):
+    """CGS2: two projection passes, coefficients summed
+    (reference: ``double_gram_schmidt_step``, gram_schmidt.fypp:38-49,85-97).
+
+    Two passes of classical Gram-Schmidt restore orthogonality to machine
+    precision ("twice is enough"), while keeping each pass a single batched
+    reduction — the TPU-friendly alternative to modified Gram-Schmidt's k
+    sequential dots.
+
+    Returns ``(y_orth, proj)`` with ``proj`` the summed coefficients.
+    """
+    y1, p1 = orthogonalize_against_basis(y, X)
+    y2, p2 = orthogonalize_against_basis(y1, X)
+    return y2, p1 + p2

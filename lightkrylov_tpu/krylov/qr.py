@@ -1,0 +1,152 @@
+"""QR factorization of a stacked basis, with and without column pivoting.
+
+TPU-native counterpart of ``src/Krylov/qr.fypp``: in-place CGS2 QR of an
+array-of-vectors with breakdown handling — a collinear column is replaced by
+a random vector re-orthogonalized against the processed columns, the
+diagonal entry is zeroed and ``info`` records the event
+(qr.fypp:116-167) — plus rank-revealing pivoted QR with running column
+norms and max-pivot column swapping (qr.fypp:32-107,176-202).
+
+Everything runs inside one jitted ``fori_loop`` over columns with fixed-size
+buffers; random replacement candidates are drawn ahead of the loop so the
+RNG stays functional.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants, vectors
+from .gram_schmidt import double_gram_schmidt_step
+
+__all__ = ["qr", "qr_pivoted"]
+
+
+def _replacement_basis(key, X):
+    """Pre-drawn random candidates, one per column, for breakdown repair."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return vectors.rand_basis(key, X)
+
+
+def qr(X, tol: float | None = None, key=None):
+    """CGS2 QR of the stacked basis ``X`` -> ``(Q, R, info)``.
+
+    ``Q`` has orthonormal columns spanning ``X`` (collinear columns replaced
+    by random orthonormalized directions with ``R[j, j] = 0``), ``R`` is
+    upper triangular and ``info`` is the 1-based index of the first
+    replacement, 0 if none (reference: qr.fypp:116-167).
+    """
+    k = vectors.basis_size(X)
+    dt = vectors.dtype_of(X)
+    rdt = constants.real_dtype_of(dt)
+    if tol is None:
+        tol = constants.atol(rdt)
+    repl = _replacement_basis(key, X)
+
+    Q0 = vectors.zero_basis_like(X)
+    R0 = jnp.zeros((k, k), dt)
+    info0 = jnp.zeros((), jnp.int32)
+
+    def body(j, carry):
+        Q, R, info = carry
+        xj = vectors.get_column(X, j)
+        # project against the j processed columns (cols >= j are zero)
+        v, proj = double_gram_schmidt_step(xj, Q)
+        beta = vectors.norm(v)
+        broke = beta < tol
+        # breakdown: substitute a random direction, re-orthogonalized
+        rj = vectors.get_column(repl, j)
+        r_orth, _ = double_gram_schmidt_step(rj, Q)
+        rnorm = vectors.norm(r_orth)
+        v_new = jax.tree.map(
+            lambda a, b: jnp.where(broke, a, b),
+            vectors.scal(jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth),
+            vectors.scal(jnp.where(beta > 0, 1.0 / beta, 0.0).astype(rdt), v),
+        )
+        Q = vectors.set_column(Q, j, v_new)
+        R = R.at[:, j].set(proj)
+        R = R.at[j, j].set(jnp.where(broke, jnp.zeros((), dt), beta.astype(dt)))
+        info = jnp.where((info == 0) & broke, j + 1, info)
+        return Q, R, info
+
+    return jax.lax.fori_loop(0, k, body, (Q0, R0, info0))
+
+
+def qr_pivoted(X, tol: float | None = None, key=None):
+    """Rank-revealing CGS2 QR with column pivoting ->
+    ``(Q, R, perm, info)`` with ``X[:, perm] = Q R`` in matrix notation,
+    ``perm`` 0-based (reference: qr.fypp:32-107,176-202 — running column
+    norms ``Rii``, max-pivot selection, column swapping; ``invperm`` is
+    ``jnp.argsort(perm)``).
+
+    ``info`` = number of columns replaced after rank exhaustion.
+    """
+    k = vectors.basis_size(X)
+    dt = vectors.dtype_of(X)
+    rdt = constants.real_dtype_of(dt)
+    if tol is None:
+        tol = constants.atol(rdt)
+    repl = _replacement_basis(key, X)
+
+    # Work on a mutable copy of the columns; Rii = running squared norms.
+    W0 = vectors.copy(X)
+    Rii0 = jnp.real(jnp.diagonal(vectors.gram(X))).astype(rdt)
+    Q0 = vectors.zero_basis_like(X)
+    R0 = jnp.zeros((k, k), dt)
+    perm0 = jnp.arange(k, dtype=jnp.int32)
+    info0 = jnp.zeros((), jnp.int32)
+
+    def swap_cols(W, R, Rii, perm, i, j):
+        """Swap stacked columns i and j of W, the leading rows of R, Rii, perm."""
+        def leaf_swap(l):
+            li, lj = l[i], l[j]
+            return l.at[i].set(lj).at[j].set(li)
+
+        W = jax.tree.map(leaf_swap, W)
+        Ri, Rj = R[:, i], R[:, j]
+        R = R.at[:, i].set(Rj).at[:, j].set(Ri)
+        Rii = Rii.at[i].set(Rii[j]).at[j].set(Rii[i])
+        pi, pj = perm[i], perm[j]
+        perm = perm.at[i].set(pj).at[j].set(pi)
+        return W, R, Rii, perm
+
+    def body(j, carry):
+        W, Q, R, Rii, perm, info = carry
+        # pivot: column with largest remaining norm among j..k-1
+        masked = jnp.where(jnp.arange(k) >= j, Rii, -jnp.inf)
+        piv = jnp.argmax(masked).astype(jnp.int32)
+        W, R, Rii, perm = swap_cols(W, R, Rii, perm, j, piv)
+
+        wj = vectors.get_column(W, j)
+        v, proj = double_gram_schmidt_step(wj, Q)
+        beta = vectors.norm(v)
+        broke = beta**2 < tol
+        rj = vectors.get_column(repl, j)
+        r_orth, _ = double_gram_schmidt_step(rj, Q)
+        rnorm = vectors.norm(r_orth)
+        qj = jax.tree.map(
+            lambda a, b: jnp.where(broke, a, b),
+            vectors.scal(jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth),
+            vectors.scal(jnp.where(beta > 0, 1.0 / beta, 0.0).astype(rdt), v),
+        )
+        Q = vectors.set_column(Q, j, qj)
+        R = R.at[:, j].set(proj)
+        R = R.at[j, j].set(jnp.where(broke, jnp.zeros((), dt), beta.astype(dt)))
+        # downdate running column norms: |w_i|^2 -= |q_j^H w_i|^2
+        coeffs = vectors.innerprod(_as_single(qj), W)[0]
+        Rii = Rii - jnp.abs(coeffs) ** 2
+        Rii = Rii.at[j].set(-jnp.inf)  # processed
+        info = info + jnp.where(broke, 1, 0).astype(jnp.int32)
+        return W, Q, R, Rii, perm, info
+
+    W, Q, R, Rii, perm, info = jax.lax.fori_loop(
+        0, k, body, (W0, Q0, R0, Rii0, perm0, info0)
+    )
+    return Q, R, perm, info
+
+
+def _as_single(v):
+    """Lift a vector into a 1-column stacked basis."""
+    return jax.tree.map(lambda l: l[None], v)

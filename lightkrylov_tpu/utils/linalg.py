@@ -1,0 +1,247 @@
+"""Dense linear-algebra utilities for the small projected problems.
+
+TPU-native counterpart of ``src/Utilities/Utils.fypp`` +
+``submodule_utility_functions.fypp``: LAPACK-convention ``eig`` (GEEV),
+``ordschur`` (TRSEN), ``sqrtm``, and the Givens-rotation helpers used by the
+GMRES least-squares recursion (reference: Utils.fypp:128-268).
+
+The projected problems are k x k with k ~ O(100): tiny.  Hermitian eig and
+SVD run on-device via XLA (``jnp.linalg.eigh`` / ``svd``); general
+(non-Hermitian) eigendecomposition and Schur reordering have no TPU lowering
+in XLA, so they round-trip through a host ``pure_callback`` — a few kilobytes
+on the wire, negligible next to one Krylov matvec.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as _sla
+
+from .. import constants
+
+__all__ = [
+    "eig",
+    "eigh",
+    "svd",
+    "schur",
+    "ordschur",
+    "schur_select",
+    "sqrtm",
+    "expm",
+    "givens_rotation",
+    "apply_givens_rotation",
+    "solve_triangular",
+]
+
+
+def _complex_of(dtype):
+    dtype = np.dtype(dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        return dtype
+    return np.dtype(np.complex64) if dtype == np.float32 else np.dtype(np.complex128)
+
+
+def eig(A):
+    """Eigendecomposition of a small dense matrix, LAPACK GEEV convention
+    (reference: Utils.fypp ``eig``; used on the projected Hessenberg,
+    IterativeSolvers.fypp:1065).
+
+    Returns ``(w, V)`` complex regardless of input dtype.  Host callback:
+    XLA has no non-Hermitian eig on TPU.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    cdt = _complex_of(A.dtype)
+
+    def _host_eig(a):
+        w, v = np.linalg.eig(np.asarray(a))
+        return w.astype(cdt), v.astype(cdt)
+
+    out_shape = (
+        jax.ShapeDtypeStruct(A.shape[:-2] + (n,), cdt),
+        jax.ShapeDtypeStruct(A.shape, cdt),
+    )
+    return jax.pure_callback(_host_eig, out_shape, A, vmap_method="sequential")
+
+
+def eigh(A):
+    """Hermitian eigendecomposition — on-device (XLA supports eigh on TPU)."""
+    return jnp.linalg.eigh(A)
+
+
+def svd(A, full_matrices: bool = False):
+    """Singular value decomposition — on-device."""
+    return jnp.linalg.svd(A, full_matrices=full_matrices)
+
+
+def schur(A, output: str | None = None):
+    """Schur decomposition ``A = Z T Z^H`` via host callback
+    (reference: stdlib ``schur`` used by ``krylov_schur``,
+    BaseKrylov.fypp:807).
+
+    ``output``: 'real' (default for real A, 2x2 blocks for conjugate pairs,
+    Z real — keeps a real Krylov basis real after compression) or 'complex'.
+    """
+    A = jnp.asarray(A)
+    if output is None:
+        output = "complex" if np.issubdtype(A.dtype, np.complexfloating) else "real"
+
+    def _host(a):
+        T, Z = _sla.schur(np.asarray(a), output=output)
+        return T.astype(a.dtype), Z.astype(a.dtype)
+
+    out = (jax.ShapeDtypeStruct(A.shape, A.dtype),) * 2
+    return jax.pure_callback(_host, out, A, vmap_method="sequential")
+
+
+def _host_ordschur(T, Z, select_mask):
+    """LAPACK TRSEN on host (reference: ``ordschur``, Utils.fypp — TRSEN)."""
+    T = np.asarray(T)
+    Z = np.asarray(Z)
+    mask = np.asarray(select_mask).astype(np.int32)
+    if np.issubdtype(T.dtype, np.complexfloating):
+        trsen = _sla.lapack.ctrsen if T.dtype == np.complex64 else _sla.lapack.ztrsen
+        res = trsen(mask, T, Z, job="N")
+        Ts, Zs = res[0], res[1]
+    else:
+        trsen = _sla.lapack.strsen if T.dtype == np.float32 else _sla.lapack.dtrsen
+        res = trsen(mask, T, Z, job="N")
+        Ts, Zs = res[0], res[1]
+    return Ts.astype(T.dtype), Zs.astype(Z.dtype)
+
+
+def ordschur(T, Z, select_mask):
+    """Reorder a Schur factorization so that the eigenvalues flagged in
+    ``select_mask`` occupy the leading block (reference: ``ordschur``,
+    Utils.fypp:128-268; used by ``krylov_schur``, BaseKrylov.fypp:813).
+
+    For real Schur forms LAPACK moves whole 2x2 conjugate-pair blocks, which
+    is exactly the behavior the Krylov-Schur restart requires.
+    """
+    T = jnp.asarray(T)
+    Z = jnp.asarray(Z)
+    out = (
+        jax.ShapeDtypeStruct(T.shape, T.dtype),
+        jax.ShapeDtypeStruct(Z.shape, Z.dtype),
+    )
+    return jax.pure_callback(
+        _host_ordschur, out, T, Z, select_mask, vmap_method="sequential"
+    )
+
+
+def schur_select(A, select):
+    """One-shot sorted Schur form: decompose ``A``, apply the *global*
+    eigenvalue selector ``select(eigvals) -> bool mask``, and reorder.
+
+    Host callback combining schur + selector + TRSEN, because the reference's
+    selector interface is global (it sees the whole spectrum at once — e.g.
+    the median-based selector of eigs, IterativeSolvers.fypp:1137-1142), which
+    scipy's per-eigenvalue ``sort`` cannot express.
+
+    Returns ``(T, Z, n_selected)``.
+    """
+    A = jnp.asarray(A)
+    is_cplx = np.issubdtype(A.dtype, np.complexfloating)
+
+    def _host(a):
+        a = np.asarray(a)
+        T, Z = _sla.schur(a, output="complex" if is_cplx else "real")
+        w = _sla.eigvals(T) if not is_cplx else np.diag(T)
+        mask = np.asarray(select(w), dtype=bool)
+        if not is_cplx:
+            # LAPACK selects whole 2x2 blocks; make the mask pair-consistent.
+            i = 0
+            n = T.shape[0]
+            mask = mask.copy()
+            while i < n - 1:
+                if abs(T[i + 1, i]) > 0:
+                    both = mask[i] or mask[i + 1]
+                    mask[i] = mask[i + 1] = both
+                    i += 2
+                else:
+                    i += 1
+        Ts, Zs = _host_ordschur(T, Z, mask)
+        return Ts, Zs, np.asarray(int(mask.sum()), np.int32)
+
+    out = (
+        jax.ShapeDtypeStruct(A.shape, A.dtype),
+        jax.ShapeDtypeStruct(A.shape, A.dtype),
+        jax.ShapeDtypeStruct((), np.int32),
+    )
+    return jax.pure_callback(_host, out, A, vmap_method="sequential")
+
+
+def sqrtm(A, hermitian: bool = True):
+    """Matrix square root of a positive-(semi)definite matrix via
+    eigendecomposition with negative-eigenvalue clipping
+    (reference: ``sqrtm``, Utils.fypp — SVD-based for semi-definite input)."""
+    A = jnp.asarray(A)
+    w, V = jnp.linalg.eigh(A)
+    w = jnp.clip(w, 0.0, None)
+    return (V * jnp.sqrt(w)) @ V.conj().T
+
+
+def expm(A):
+    """Dense matrix exponential — on-device Pade scaling-and-squaring
+    (used for the projected exponential, reference: ExpmLib.fypp:207)."""
+    return jax.scipy.linalg.expm(A)
+
+
+def givens_rotation(a, b):
+    """Compute ``(c, s)`` zeroing ``b`` against ``a``
+    (reference: ``givens_rotation``, Utils.fypp:128-268): complex-safe,
+    ``c`` real, ``s`` same dtype as inputs."""
+    anorm = jnp.abs(a)
+    bnorm = jnp.abs(b)
+    d = jnp.sqrt(anorm**2 + bnorm**2)
+    d = jnp.where(d == 0, 1.0, d)
+    c = anorm / d
+    # Phase-correct sine for complex entries; reduces to b/d for real.
+    phase = jnp.where(anorm == 0, 1.0 + 0.0 * a, a / jnp.where(anorm == 0, 1.0, anorm))
+    s = jnp.conj(phase) * b / d
+    c = jnp.where((anorm == 0) & (bnorm == 0), 1.0, c)
+    s = jnp.where((anorm == 0) & (bnorm == 0), 0.0 * s, s)
+    return c.real, s
+
+
+def apply_givens_rotation(h, c, s, k):
+    """Apply the k stored rotations to column ``h`` (length >= k+2), compute
+    the new rotation annihilating ``h[k+1]``, and return the updated column
+    and rotation arrays (reference: ``apply_givens_rotation``,
+    Utils.fypp:128-268; used in gmres.fypp:177-182).
+
+    All arrays are fixed-size buffers; ``k`` may be traced.
+    """
+    n = c.shape[0]
+
+    def body(i, hc):
+        h_ = hc
+        hi = h_[i]
+        hip = h_[i + 1]
+        ci = c[i]
+        si = s[i]
+        new_hi = ci * hi + jnp.conj(si) * hip
+        new_hip = -si * hi + ci * hip
+        apply = i < k
+        h_ = h_.at[i].set(jnp.where(apply, new_hi, hi))
+        h_ = h_.at[i + 1].set(jnp.where(apply, new_hip, hip))
+        return h_
+
+    h = jax.lax.fori_loop(0, n, body, h)
+    ck, sk = givens_rotation(h[k], h[k + 1])
+    r = ck * h[k] + jnp.conj(sk) * h[k + 1]
+    h = h.at[k].set(r)
+    h = h.at[k + 1].set(jnp.zeros((), h.dtype))
+    c = c.at[k].set(ck.astype(c.dtype))
+    s = s.at[k].set(sk)
+    return h, c, s
+
+
+def solve_triangular(R, b, lower: bool = False):
+    """Triangular solve for the GMRES least-squares back-substitution
+    (reference: ``trtrs`` call, gmres.fypp:200)."""
+    return jax.scipy.linalg.solve_triangular(R, b, lower=lower)

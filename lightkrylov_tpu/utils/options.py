@@ -1,0 +1,132 @@
+"""Typed options and metadata records for every solver.
+
+TPU-native counterpart of the reference's ``abstract_opts`` /
+``abstract_metadata`` hierarchy (reference: Utils.fypp:50-76) and the
+per-solver records: ``gmres_*_opts`` (kdim=30, maxiter=10,
+IterativeSolvers.fypp:141-151), ``cg_*_opts`` (maxiter=100, :468-474),
+``newton_*_opts`` (maxiter=100, ifbisect, maxstep_bisection=5,
+NewtonKrylov.fypp:28-39) and the matching metadata types carrying iteration
+counts, residual histories and convergence flags
+(IterativeSolvers.fypp:153-186,476-505; NewtonKrylov.fypp:44-65).
+
+Metadata produced inside jitted solvers stores residual histories in
+fixed-size device buffers; ``history`` trims them host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = [
+    "GMRESOptions",
+    "CGOptions",
+    "EigsOptions",
+    "SVDSOptions",
+    "KexpmOptions",
+    "NewtonOptions",
+    "SolverMetadata",
+    "NewtonMetadata",
+]
+
+
+@dataclass(frozen=True)
+class GMRESOptions:
+    """(reference: ``gmres_{sp,dp}_opts``, IterativeSolvers.fypp:141-151)."""
+
+    kdim: int = 30          # dimension of the Krylov subspace per restart
+    maxiter: int = 10       # number of restarts
+    if_print_metadata: bool = False
+    sanity_check: bool = True  # recompute the true residual each outer cycle
+
+
+@dataclass(frozen=True)
+class CGOptions:
+    """(reference: ``cg_{sp,dp}_opts``, IterativeSolvers.fypp:467-474)."""
+
+    maxiter: int = 100
+    if_print_metadata: bool = False
+
+
+@dataclass(frozen=True)
+class EigsOptions:
+    """Options for eigs/eighs (reference: defaults kdim = 4*nev, tol = rtol,
+    IterativeSolvers.fypp:1023-1024)."""
+
+    kdim: int | None = None       # None -> 4 * nev
+    maxiter: int = 20             # max Krylov-Schur restart cycles
+    write_intermediate: bool = False
+    outpost: str = "eigs_output.txt"
+
+
+@dataclass(frozen=True)
+class SVDSOptions:
+    kdim: int | None = None
+    maxiter: int = 20
+
+
+@dataclass(frozen=True)
+class KexpmOptions:
+    """(reference: kdim=30 default wrapper, kmax=100; ExpmLib.fypp:149,365-392)."""
+
+    kdim: int = 30
+
+
+@dataclass(frozen=True)
+class NewtonOptions:
+    """(reference: ``newton_{sp,dp}_opts``, NewtonKrylov.fypp:28-39)."""
+
+    maxiter: int = 100
+    ifbisect: bool = False
+    maxstep_bisection: int = 5
+    if_print_metadata: bool = False
+
+
+@dataclass
+class SolverMetadata:
+    """Iteration counts + residual history for the linear/eigen solvers
+    (reference: ``gmres_*_metadata`` etc, IterativeSolvers.fypp:153-186)."""
+
+    converged: bool = False
+    n_iter: int = 0
+    n_inner: int = 0
+    info: int = 0
+    residuals: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+    @property
+    def history(self) -> np.ndarray:
+        """Residual history trimmed to executed iterations."""
+        return self.residuals[: self.n_inner if self.n_inner else self.n_iter]
+
+    def print(self, log_fn=print) -> None:
+        log_fn(
+            f"converged={self.converged} n_iter={self.n_iter} "
+            f"n_inner={self.n_inner} final_res="
+            f"{self.history[-1] if len(self.history) else float('nan'):.3e}"
+        )
+
+    def reset(self) -> None:
+        self.converged = False
+        self.n_iter = 0
+        self.n_inner = 0
+        self.info = 0
+        self.residuals = np.zeros(0)
+
+
+@dataclass
+class NewtonMetadata:
+    """(reference: ``newton_*_metadata`` recording (residual, tol) per eval,
+    NewtonKrylov.fypp:44-65)."""
+
+    converged: bool = False
+    n_iter: int = 0
+    info: int = 0
+    residuals: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tolerances: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+    def print(self, log_fn=print) -> None:
+        log_fn(
+            f"newton: converged={self.converged} n_iter={self.n_iter} "
+            f"residuals={np.array2string(self.residuals, precision=3)}"
+        )

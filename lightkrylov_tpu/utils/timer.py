@@ -1,0 +1,208 @@
+"""Hierarchical timing, call counters and profiler hooks.
+
+TPU-native counterpart of ``src/Utilities/Timer_Utils.f90`` +
+``src/Utilities/Timer.fypp``: atomic timers with elapsed/min/max/count and
+pause/resume (Timer_Utils.f90:12-74), timer groups (:77-86), a registry
+"watch" with private + user timers (:89-158), and a global enable flag
+``time_lightkrylov()`` guarding all instrumentation (Timer.fypp:24,45-47).
+
+On TPU, wall-clock timing of jitted code requires ``block_until_ready``
+synchronisation; timers therefore only synchronise when enabled, so the
+instrumentation is free when switched off (same contract as the reference).
+``jax.profiler`` trace annotations are emitted alongside so device traces
+show the solver stages.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+import jax
+
+from . import logger as _logger
+
+__all__ = [
+    "Timer",
+    "Watch",
+    "global_watch",
+    "time_lightkrylov",
+    "set_timing",
+    "timed",
+    "matvec_counter",
+    "reset_counters",
+    "get_counter",
+]
+
+_timing_enabled = False
+
+
+def time_lightkrylov() -> bool:
+    """Global instrumentation flag (reference: Timer.fypp:24,45-47)."""
+    return _timing_enabled
+
+
+def set_timing(enabled: bool) -> None:
+    global _timing_enabled
+    _timing_enabled = enabled
+
+
+@dataclass
+class Timer:
+    """Atomic named timer (reference: ``lightkrylov_timer``,
+    Timer_Utils.f90:12-74)."""
+
+    name: str
+    etime: float = 0.0
+    tmin: float = float("inf")
+    tmax: float = 0.0
+    count: int = 0
+    running: bool = False
+    _t0: float = 0.0
+    history: list = field(default_factory=list)
+
+    def start(self):
+        if not self.running:
+            self.running = True
+            self._t0 = time.perf_counter()
+
+    def stop(self):
+        if self.running:
+            dt = time.perf_counter() - self._t0
+            self.etime += dt
+            self.tmin = min(self.tmin, dt)
+            self.tmax = max(self.tmax, dt)
+            self.count += 1
+            self.running = False
+
+    def pause(self):
+        if self.running:
+            self.etime += time.perf_counter() - self._t0
+            self.running = False
+
+    def reset(self, soft: bool = True):
+        """Soft reset archives current stats to history; hard reset wipes
+        (reference: soft/hard reset, Timer_Utils.f90:221-419)."""
+        if soft and self.count:
+            self.history.append((self.etime, self.tmin, self.tmax, self.count))
+        self.etime, self.tmin, self.tmax, self.count = 0.0, float("inf"), 0.0, 0
+        self.running = False
+        if not soft:
+            self.history.clear()
+
+    @property
+    def avg(self) -> float:
+        return self.etime / self.count if self.count else 0.0
+
+
+class Watch:
+    """Timer registry with groups (reference: ``abstract_watch`` +
+    ``lightkrylov_watch``, Timer_Utils.f90:89-158, Timer.fypp:67-113)."""
+
+    def __init__(self, name: str = "lightkrylov_watch"):
+        self.name = name
+        self._timers: dict[str, Timer] = {}
+        self._groups: dict[str, list[str]] = defaultdict(list)
+
+    def add_timer(self, name: str, group: str = "user") -> Timer:
+        if name not in self._timers:
+            self._timers[name] = Timer(name)
+            self._groups[group].append(name)
+        return self._timers[name]
+
+    def remove_timer(self, name: str) -> None:
+        self._timers.pop(name, None)
+        for names in self._groups.values():
+            if name in names:
+                names.remove(name)
+
+    def timer(self, name: str) -> Timer:
+        return self.add_timer(name)
+
+    def reset_all(self, soft: bool = True) -> None:
+        for t in self._timers.values():
+            t.reset(soft=soft)
+
+    def summary(self) -> str:
+        """Grouped min/avg/max/count report
+        (reference: ``print_timer_summary``, Timer_Utils.f90:221-419)."""
+        lines = [f"== {self.name} timing summary =="]
+        for group, names in self._groups.items():
+            active = [self._timers[n] for n in names if n in self._timers and self._timers[n].count]
+            if not active:
+                continue
+            lines.append(f"-- {group} --")
+            for t in active:
+                lines.append(
+                    f"  {t.name:<40s} n={t.count:<6d} total={t.etime:.4e}s "
+                    f"min={t.tmin:.4e}s avg={t.avg:.4e}s max={t.tmax:.4e}s"
+                )
+        return "\n".join(lines)
+
+    def print_summary(self) -> None:
+        _logger.log_message(self.summary())
+
+
+#: Global watch, mirroring ``global_lightkrylov_timer`` (Timer.fypp:30-41).
+global_watch = Watch()
+
+
+@contextmanager
+def timed(name: str, group: str = "user"):
+    """Context manager bracketing a stage with a named timer + profiler
+    annotation (reference: the ``timer%start/stop`` brackets wrapping every
+    library routine, e.g. arnoldi.fypp:18,75)."""
+    if not _timing_enabled:
+        yield
+        return
+    t = global_watch.add_timer(name, group)
+    with jax.profiler.TraceAnnotation(name):
+        t.start()
+        try:
+            yield
+        finally:
+            t.stop()
+
+
+# -- call counters -----------------------------------------------------------
+#
+# The reference counts every matvec/rmatvec/response on the operator instance
+# (AbstractLinops.fypp:34-37,391-424).  Instances here are immutable pytrees,
+# so counters live in a host-side registry updated through io_callback — they
+# count *executed* applications even from inside jit.
+
+_counters: dict[str, int] = defaultdict(int)
+
+
+def _bump(name: str):
+    def cb(_):
+        _counters[name] += 1
+
+    jax.experimental.io_callback(cb, None, 0, ordered=False)
+
+
+def matvec_counter(A, name: str):
+    """Wrap operator ``A`` so each matvec/rmatvec bumps a named host counter
+    (reference: ``apply_matvec`` counting wrapper,
+    AbstractLinops.fypp:391-424)."""
+    from ..linops import MatvecOperator
+
+    def mv(x):
+        _bump(name + ".matvec")
+        return A.matvec(x)
+
+    def rmv(y):
+        _bump(name + ".rmatvec")
+        return A.rmatvec(y)
+
+    return MatvecOperator(mv, rmv, is_hermitian=A.is_hermitian)
+
+
+def reset_counters() -> None:
+    _counters.clear()
+
+
+def get_counter(name: str) -> int:
+    return _counters[name]

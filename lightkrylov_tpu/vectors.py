@@ -1,0 +1,325 @@
+"""Pytree vectors and stacked Krylov bases.
+
+TPU-native counterpart of the reference's abstract vector layer
+(reference: src/AbstractTypes/AbstractVectors.fypp).  The reference defines
+an abstract class with deferred ``zero/rand/scal/axpby/dot/get_size``
+(AbstractVectors.fypp:295-320) and *array-of-vector* basis utilities:
+``innerprod`` (X^H y and X^H Y, :659-695), ``Gram`` (:645-657),
+``linear_combination`` (y = X v, Y = X B, :571-643) and elemental
+``axpby_basis``/``zero_basis``/``copy``/``rand_basis`` (:697-730).
+
+Design inversion for TPU: a *vector* is any pytree of ``jnp`` arrays and a
+*basis* is the same pytree with one extra **leading** axis of length k
+(stacked, not an array of objects).  Every basis reduction then becomes a
+single reshaped matmul that XLA tiles onto the MXU, and — when leaves carry a
+``NamedSharding`` over a device mesh — a single fused all-reduce per
+contraction (the reference instead leaves distribution entirely to user MPI
+code, paper/paper.md:35,97,101).
+
+Conventions
+-----------
+* ``dot(x, y) = x^H y`` — first argument conjugated, matching the reference
+  (AbstractVectors.fypp:659-695).
+* Unfilled Krylov-buffer slots are kept exactly zero so that masked-free
+  projections against the full buffer are algebraically exact.
+"""
+
+from __future__ import annotations
+
+import operator
+from functools import partial, reduce
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+
+__all__ = [
+    "dot",
+    "norm",
+    "scal",
+    "axpby",
+    "add",
+    "sub",
+    "chsgn",
+    "zero_like",
+    "rand_like",
+    "get_size",
+    "dtype_of",
+    "innerprod",
+    "gram",
+    "linear_combination",
+    "axpby_basis",
+    "scal_basis",
+    "zero_basis_like",
+    "zeros_basis",
+    "rand_basis",
+    "copy",
+    "stack",
+    "unstack",
+    "get_column",
+    "set_column",
+    "basis_size",
+    "verify_vector_axioms",
+]
+
+
+# -- internals ---------------------------------------------------------------
+
+def _leaves(x):
+    return jax.tree_util.tree_leaves(x)
+
+
+def _tree_sum(terms):
+    """Sum a list of arrays (one per leaf) into one scalar/array."""
+    return reduce(operator.add, terms)
+
+
+def _as_matrix(leaf):
+    """Flatten a basis leaf (k, *S) to (k, prod(S))."""
+    return leaf.reshape(leaf.shape[0], -1)
+
+
+def _as_vector(leaf):
+    return leaf.reshape(-1)
+
+
+# -- vector algebra ----------------------------------------------------------
+
+def dot(x, y):
+    """Inner product ``x^H y`` summed over every leaf
+    (reference: AbstractVectors.fypp:424-433 deferred ``dot``)."""
+    terms = [
+        jnp.vdot(xl, yl)  # vdot conjugates its first argument
+        for xl, yl in zip(_leaves(x), _leaves(y))
+    ]
+    return _tree_sum(terms)
+
+
+def norm(x):
+    """Euclidean norm (reference: AbstractVectors.fypp ``norm = sqrt(dot)``)."""
+    sq = _tree_sum([jnp.sum(jnp.real(xl * jnp.conj(xl))) for xl in _leaves(x)])
+    return jnp.sqrt(sq)
+
+
+def scal(alpha, x):
+    """``alpha * x`` (reference: deferred ``scal``)."""
+    return jax.tree.map(lambda xl: alpha * xl, x)
+
+
+def axpby(alpha, x, beta, y):
+    """``alpha*x + beta*y`` (reference: deferred ``axpby``)."""
+    return jax.tree.map(lambda xl, yl: alpha * xl + beta * yl, x, y)
+
+
+def add(x, y):
+    return jax.tree.map(jnp.add, x, y)
+
+
+def sub(x, y):
+    return jax.tree.map(jnp.subtract, x, y)
+
+
+def chsgn(x):
+    return jax.tree.map(jnp.negative, x)
+
+
+def zero_like(x):
+    return jax.tree.map(jnp.zeros_like, x)
+
+
+def rand_like(key, x, ifnorm: bool = False):
+    """Standard-normal random vector with the structure/dtype of ``x``
+    (reference: deferred ``rand``; normalization flag as in ``rand(ifnorm)``)."""
+    leaves, treedef = jax.tree_util.tree_flatten(x)
+    keys = jax.random.split(key, len(leaves))
+    new_leaves = []
+    for k, leaf in zip(keys, leaves):
+        if np.issubdtype(leaf.dtype, np.complexfloating):
+            rdt = constants.real_dtype_of(leaf.dtype)
+            re = jax.random.normal(k, leaf.shape, rdt)
+            im = jax.random.normal(jax.random.fold_in(k, 1), leaf.shape, rdt)
+            new_leaves.append((re + 1j * im).astype(leaf.dtype))
+        else:
+            new_leaves.append(jax.random.normal(k, leaf.shape, leaf.dtype))
+    out = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if ifnorm:
+        out = scal(1.0 / norm(out), out)
+    return out
+
+
+def get_size(x) -> int:
+    """Total number of scalar entries (reference: deferred ``get_size``)."""
+    return sum(int(np.prod(leaf.shape)) for leaf in _leaves(x))
+
+
+def dtype_of(x):
+    """Dtype of the (first leaf of the) vector."""
+    return _leaves(x)[0].dtype
+
+
+# -- basis (stacked leading axis) algebra ------------------------------------
+
+def basis_size(X) -> int:
+    """Number of columns k of a stacked basis."""
+    return _leaves(X)[0].shape[0]
+
+
+def stack(vectors):
+    """Stack a list of vectors into a basis with leading axis k."""
+    return jax.tree.map(lambda *ls: jnp.stack(ls, axis=0), *vectors)
+
+
+def unstack(X):
+    """Inverse of :func:`stack`."""
+    k = basis_size(X)
+    return [get_column(X, i) for i in range(k)]
+
+
+def get_column(X, i):
+    """Extract column ``i`` of a stacked basis as a vector."""
+    return jax.tree.map(lambda l: l[i], X)
+
+
+def set_column(X, i, v):
+    """Functionally set column ``i`` of a stacked basis."""
+    return jax.tree.map(lambda Xl, vl: Xl.at[i].set(vl), X, v)
+
+
+def copy(X):
+    """Defensive copy (functional arrays make this a no-op identity)."""
+    return jax.tree.map(lambda l: l, X)
+
+
+def zeros_basis(x_template, k: int):
+    """A k-column zero basis shaped like ``x_template``
+    (reference: ``zero_basis``, AbstractVectors.fypp:697-708)."""
+    return jax.tree.map(
+        lambda l: jnp.zeros((k,) + l.shape, l.dtype), x_template
+    )
+
+
+def zero_basis_like(X):
+    return jax.tree.map(jnp.zeros_like, X)
+
+
+def rand_basis(key, X, ifnorm: bool = False):
+    """Random basis with the structure of ``X`` (reference: ``rand_basis``)."""
+    k = basis_size(X)
+    cols = [rand_like(jax.random.fold_in(key, i), get_column(X, 0), ifnorm) for i in range(k)]
+    return stack(cols)
+
+
+def innerprod(X, y):
+    """Batched inner products against a stacked basis.
+
+    ``innerprod(X, y) -> (k,)`` with entries ``X_i^H y`` and
+    ``innerprod(X, Y) -> (k, m)`` with entries ``X_i^H Y_j``
+    (reference: AbstractVectors.fypp:659-695).  Each case is one reshaped
+    matmul per leaf — on a sharded mesh XLA lowers the reduction to a single
+    fused all-reduce, which is the "batched dot product" design target of
+    SURVEY.md §2 item 3.
+    """
+    X_leaves, y_leaves = _leaves(X), _leaves(y)
+    x0, y0 = X_leaves[0], y_leaves[0]
+    if y0.ndim == x0.ndim - 1:
+        # basis x vector -> (k,)
+        terms = [
+            _as_matrix(Xl).conj() @ _as_vector(yl)
+            for Xl, yl in zip(X_leaves, y_leaves)
+        ]
+    else:
+        # basis x basis -> (k, m)
+        terms = [
+            jnp.einsum("ks,ms->km", _as_matrix(Xl).conj(), _as_matrix(yl))
+            for Xl, yl in zip(X_leaves, y_leaves)
+        ]
+    return _tree_sum(terms)
+
+
+def gram(X):
+    """Gram matrix ``X^H X`` (reference: AbstractVectors.fypp:645-657)."""
+    return innerprod(X, X)
+
+
+def linear_combination(X, v):
+    """``X v`` for a coefficient vector (k,) or matrix (k, m).
+
+    (k,)   -> a vector;    (k, m) -> a basis with leading axis m.
+    (reference: AbstractVectors.fypp:571-643 — basis compression / Ritz
+    vector reconstruction; a tall-skinny GEMM on TPU.)
+    """
+    v = jnp.asarray(v)
+    if v.ndim == 1:
+        def leaf_fn(Xl):
+            flat = v.astype(Xl.dtype) @ _as_matrix(Xl)
+            return flat.reshape(Xl.shape[1:])
+    else:
+        def leaf_fn(Xl):
+            flat = jnp.einsum("km,ks->ms", v.astype(Xl.dtype), _as_matrix(Xl))
+            return flat.reshape((v.shape[1],) + Xl.shape[1:])
+    return jax.tree.map(leaf_fn, X)
+
+
+def axpby_basis(alpha, X, beta, Y):
+    """Elementwise-column ``alpha*X + beta*Y``
+    (reference: ``axpby_basis``, AbstractVectors.fypp:709-720)."""
+    return jax.tree.map(lambda Xl, Yl: alpha * Xl + beta * Yl, X, Y)
+
+
+def scal_basis(alpha, X):
+    """Scale each column; ``alpha`` may be scalar or shape (k,)."""
+    alpha = jnp.asarray(alpha)
+
+    def leaf_fn(Xl):
+        a = alpha.astype(Xl.dtype)
+        if a.ndim == 1:
+            a = a.reshape((-1,) + (1,) * (Xl.ndim - 1))
+        return a * Xl
+
+    return jax.tree.map(leaf_fn, X)
+
+
+# -- property-based axiom checking -------------------------------------------
+
+def verify_vector_axioms(key, x_template, n_trials: int = 10, rtol=None):
+    """Check the 8 vector-space axioms on random data.
+
+    Counterpart of ``verify_vector_axioms``
+    (reference: AbstractVectors.fypp:733-927): commutativity and
+    associativity of addition, additive identity and inverse, scalar
+    distributivity (both ways), scalar-multiplication associativity and
+    multiplicative identity.  Raises ``AssertionError`` on violation.
+    """
+    dt = dtype_of(x_template)
+    tol = rtol if rtol is not None else constants.rtol(dt)
+
+    def rand_scalar(k):
+        if constants.is_complex_dtype(dt):
+            r = jax.random.normal(k, (2,), constants.real_dtype_of(dt))
+            return (r[0] + 1j * r[1]).astype(dt)
+        return jax.random.normal(k, (), dt)
+
+    for trial in range(n_trials):
+        kt = jax.random.fold_in(key, trial)
+        k1, k2, k3, k4, k5 = jax.random.split(kt, 5)
+        x = rand_like(k1, x_template)
+        y = rand_like(k2, x_template)
+        z = rand_like(k3, x_template)
+        a = rand_scalar(k4)
+        b = rand_scalar(k5)
+        scale = float(norm(x)) + 1.0
+
+        def check(u, v, label):
+            err = float(norm(sub(u, v))) / scale
+            assert err < tol, f"vector axiom '{label}' violated: err={err:.3e}"
+
+        check(add(x, y), add(y, x), "commutativity")
+        check(add(add(x, y), z), add(x, add(y, z)), "associativity")
+        check(add(x, zero_like(x)), x, "additive identity")
+        check(add(x, chsgn(x)), zero_like(x), "additive inverse")
+        check(scal(a, add(x, y)), add(scal(a, x), scal(a, y)), "distributivity over vectors")
+        check(scal(a + b, x), add(scal(a, x), scal(b, x)), "distributivity over scalars")
+        check(scal(a * b, x), scal(a, scal(b, x)), "scalar associativity")
+        check(scal(jnp.asarray(1, dt), x), x, "multiplicative identity")
