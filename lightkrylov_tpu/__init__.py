@@ -82,6 +82,22 @@ from .krylov import (
     is_orthonormal,
 )
 
+from .solvers import (
+    gmres,
+    fgmres,
+    cg,
+    eigs,
+    eighs,
+    svds,
+    save_eigenspectrum,
+    kexpm,
+    krylov_exptA,
+    ExponentialPropagator,
+    newton,
+    constant_tol,
+    dynamic_tol,
+)
+
 from .utils import linalg, logger, options, timer
 from .utils.logger import logger_setup, check_info, LightKrylovError
 from .utils.options import (

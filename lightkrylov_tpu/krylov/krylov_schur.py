@@ -65,13 +65,9 @@ def krylov_schur(X, H, select=None):
         select = median_selector
     kdim = H.shape[1]
     Hk = H[:kdim, :kdim]
-    T, Z, n_dev = linalg.schur_select(Hk, select)
-    n = int(jax.device_get(n_dev))
+    Tn, Zn, n = linalg.schur_select(Hk, select)  # eager host LAPACK
     # Degenerate selections would stall the restart loop: clamp to [1, kdim-1].
     n = max(1, min(n, kdim - 1))
-
-    Tn = np.asarray(jax.device_get(T))
-    Zn = np.asarray(jax.device_get(Z))
     beta = np.asarray(jax.device_get(H[kdim, kdim - 1]))
 
     # Host-side k x k assembly of the new extended Hessenberg.

@@ -1,0 +1,14 @@
+"""Pallas TPU kernels: the native-kernel tier of the operator layer
+(SURVEY.md §2 — SpMV/stencil matvecs; the reference's BLAS/LAPACK analogue)."""
+
+from .stencil import stencil_matvec, PallasPoisson2D
+from .spmv import BellMatrix, bell_from_scipy, bell_spmv, BellOperator
+
+__all__ = [
+    "stencil_matvec",
+    "PallasPoisson2D",
+    "BellMatrix",
+    "bell_from_scipy",
+    "bell_spmv",
+    "BellOperator",
+]

@@ -1,0 +1,117 @@
+"""Row-partitioned 2D stencil operators with ICI halo exchange.
+
+This is the multi-chip operator tier of SURVEY.md §2 item 2 (and BASELINE
+config 5: 10M-DoF partitioned Poisson eigs): the interior grid is sharded
+along its leading (row) axis over a 1D device mesh; the 5-point matvec runs
+under ``shard_map`` with a one-row halo exchange between neighbouring shards
+expressed as two ``ppermute`` collectives over ICI.
+
+Overlap: the kernel computes the x-direction (halo-free) part of the
+stencil while the halo rows are in flight, then adds the y-direction
+neighbour contributions — XLA schedules the ppermutes concurrently with the
+interior compute.  Non-cyclic ``ppermute`` delivers zeros at the slice
+boundaries, which is exactly the homogeneous Dirichlet condition.
+
+The reference has no counterpart: it delegates distribution entirely to the
+user's MPI code (paper/paper.md:97-101; the MPI Poisson example lives in a
+separate repo, README.md:61).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..linops import LinearOperator
+from .mesh import distribute
+
+__all__ = ["ShardedPoisson2D"]
+
+
+def _stencil_shard(u, *, ihx2, ihy2, axis):
+    """Per-shard 5-point matvec body with halo exchange (runs inside
+    shard_map; ``u`` is the local (ny_local, nx) row block)."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    # Launch halo exchange: my top row goes to the previous shard's bottom
+    # halo, my bottom row to the next shard's top halo.  Non-cyclic perms:
+    # edge shards receive zeros (Dirichlet boundary).
+    down_perm = [(i, i + 1) for i in range(n - 1)]   # send towards larger idx
+    up_perm = [(i + 1, i) for i in range(n - 1)]     # send towards smaller idx
+    halo_from_above = jax.lax.ppermute(u[-1:, :], axis, down_perm)  # row above my block? see note
+    halo_from_below = jax.lax.ppermute(u[:1, :], axis, up_perm)
+
+    # Interior (x-direction + diagonal) part — no halo dependency; XLA
+    # overlaps this with the ppermutes above.
+    un = jnp.pad(u, ((0, 0), (1, 1)))
+    left, right = un[:, :-2], un[:, 2:]
+    out = (2.0 * (ihx2 + ihy2)) * u - ihx2 * (left + right)
+
+    # y-direction neighbours: shift within the block, splice halo rows.
+    um = jnp.pad(u, ((1, 1), (0, 0)))
+    down_nb = um[:-2, :].at[0:1, :].set(halo_from_above)   # u_{j-1}
+    up_nb = um[2:, :].at[-1:, :].set(halo_from_below)      # u_{j+1}
+    out = out - ihy2 * (down_nb + up_nb)
+    return out
+
+
+class ShardedPoisson2D(LinearOperator):
+    """Negative 5-point Laplacian, row-partitioned over a 1D mesh.
+
+    Semantically identical to :class:`lightkrylov_tpu.models.Poisson2D`
+    (same grid, spacing, SPD); the state vector is the globally-shaped
+    ``(ny, nx)`` array carrying a ``NamedSharding`` that partitions rows
+    over the mesh.  ``ny`` must be divisible by the mesh size.
+    """
+
+    _children = ()
+    _static = ("nx", "ny", "dtype_", "mesh", "axis")
+
+    is_hermitian = True
+
+    def __init__(self, nx: int, ny: int | None = None, *, mesh: Mesh,
+                 dtype=jnp.float32):
+        self.nx = nx
+        self.ny = ny if ny is not None else nx
+        self.dtype_ = np.dtype(dtype)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        if self.ny % mesh.devices.size != 0:
+            raise ValueError(
+                f"ny={self.ny} must be divisible by mesh size {mesh.devices.size}")
+
+    @property
+    def hx(self):
+        return 1.0 / (self.nx + 1)
+
+    @property
+    def hy(self):
+        return 1.0 / (self.ny + 1)
+
+    def template(self):
+        """A distributed zero state vector."""
+        u = jnp.zeros((self.ny, self.nx), self.dtype_)
+        return distribute(u, self.mesh, P(self.axis, None))
+
+    def matvec(self, u):
+        body = partial(
+            _stencil_shard,
+            ihx2=1.0 / self.hx**2,
+            ihy2=1.0 / self.hy**2,
+            axis=self.axis,
+        )
+        mv = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=P(self.axis, None),
+            out_specs=P(self.axis, None),
+        )
+        return mv(u)
+
+    def rmatvec(self, u):
+        return self.matvec(u)

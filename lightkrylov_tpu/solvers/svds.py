@@ -1,0 +1,108 @@
+"""Singular value decomposition via Golub-Kahan bidiagonalization.
+
+TPU-native counterpart of ``svds``
+(reference: src/IterativeSolvers/SVDS/svd_solvers.fypp): incremental
+bidiagonalization plus dense SVD of the projected bidiagonal each check
+(svd_solvers.fypp:80-102), residual ``|B[k+1, k] * v_last|`` (:93), no
+restart (IterativeSolvers.fypp:655-658), and reconstruction
+``U = Uwrk @ umat``, ``V = Vwrk @ vmat`` (:108-119).
+
+Supports rectangular implicit operators (``U`` in the codomain, ``V`` in
+the domain).  The dense k x k SVD runs on-device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants, vectors
+from ..krylov.bidiag import bidiagonalization, initialize_bidiag
+from ..linops import aslinop
+from .eigs import _reconstruct
+from ..utils.logger import log_warning
+from ..utils.options import SVDSOptions, SolverMetadata
+
+__all__ = ["svds"]
+
+
+def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
+         tolerance: float | None = None, options: SVDSOptions | None = None,
+         key=None, check_every: int | None = None):
+    """Leading singular triplets -> ``(U, S, V, residuals, info, metadata)``
+    with ``U``/``V`` stacked bases of ``nsv`` left/right singular vectors and
+    ``S`` descending (reference: ``svds``, svd_solvers.fypp:28-119)."""
+    A = aslinop(A)
+    opts = options or SVDSOptions()
+    if kdim is None:
+        kdim = opts.kdim or 4 * nsv
+    if u0 is None:
+        raise ValueError("svds requires u0 (codomain template/seed vector)")
+    if v_template is None:
+        v_template = u0  # square operator
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dt = vectors.dtype_of(u0)
+    rdt = constants.real_dtype_of(dt)
+    tol = tolerance if tolerance is not None else constants.rtol(rdt)
+    stride = kdim if not check_every else check_every
+
+    seed = u0
+    if float(vectors.norm(seed)) == 0.0:
+        seed = vectors.rand_like(key, u0)
+    U, V, B = initialize_bidiag(seed, v_template, kdim)
+
+    niter = 0
+    k = 1
+    res_history = []
+    invariant = False
+    while k <= kdim:
+        kend = min(kdim, k + stride - 1)
+        U, V, B, binfo = bidiagonalization(A, U, V, B, kstart=k, kend=kend)
+        binfo = int(binfo)
+        k_eff = binfo if binfo > 0 else kend
+        niter += k_eff - (k - 1)
+
+        Bh = np.asarray(jax.device_get(B))
+        Bk = Bh[:k_eff, :k_eff]
+        um, s, vmh = np.linalg.svd(Bk)
+        vm = vmh.conj().T
+        beta = abs(Bh[k_eff, k_eff - 1])
+        r = beta * np.abs(vm[-1, :])  # (:93)
+        if binfo > 0:
+            r = np.zeros_like(r)
+            invariant = True
+        n_conv = int(np.sum(r < tol))
+        res_history.append(r[: min(nsv, len(r))].copy())
+        svals, umat, vmat, res, k_final = s, um, vm, r, k_eff
+        if n_conv >= nsv or invariant:
+            break
+        k = kend + 1
+
+    converged = n_conv >= nsv or invariant
+    if not converged:
+        log_warning(f"svds: only {n_conv}/{nsv} triplets converged (no restart — "
+                    "increase kdim)", "solvers", "svds")
+
+    nsv_out = min(nsv, len(svals))
+    cu = np.zeros((kdim + 1, nsv_out), dtype=np.dtype(dt))
+    cu[:k_final, :] = umat[:, :nsv_out]
+    cv = np.zeros((kdim, nsv_out), dtype=np.dtype(dt))
+    cv[:k_final, :] = vmat[:, :nsv_out]
+    Usv = _reconstruct(U, jnp.asarray(cu))
+    Vsv = _reconstruct(V, jnp.asarray(cv))
+
+    info = n_conv if converged else -n_conv
+    meta = SolverMetadata(
+        converged=converged, n_iter=niter, n_inner=niter, info=info,
+        residuals=np.concatenate(res_history) if res_history else np.zeros(0),
+    )
+    return (
+        Usv,
+        jnp.asarray(svals[:nsv_out].astype(rdt)),
+        Vsv,
+        jnp.asarray(res[:nsv_out].astype(rdt)),
+        info,
+        meta,
+    )

@@ -5,16 +5,18 @@ TPU-native counterpart of ``src/Utilities/Utils.fypp`` +
 ``ordschur`` (TRSEN), ``sqrtm``, and the Givens-rotation helpers used by the
 GMRES least-squares recursion (reference: Utils.fypp:128-268).
 
-The projected problems are k x k with k ~ O(100): tiny.  Hermitian eig and
-SVD run on-device via XLA (``jnp.linalg.eigh`` / ``svd``); general
-(non-Hermitian) eigendecomposition and Schur reordering have no TPU lowering
-in XLA, so they round-trip through a host ``pure_callback`` — a few kilobytes
-on the wire, negligible next to one Krylov matvec.
+The projected problems are k x k with k ~ O(100): tiny.  Hermitian eig, SVD
+and ``expm`` run on-device via XLA; general (non-Hermitian) eigendecomposition
+and Schur reordering have no TPU lowering in XLA, so they run **eagerly on
+the host** (``device_get`` -> LAPACK -> back) — a few kilobytes on the wire,
+negligible next to one Krylov matvec.  They are deliberately *not* wrapped in
+``jax.pure_callback``: all call sites are eager driver code between jitted
+Krylov sweeps, and some TPU runtimes (including the axon PJRT plugin used
+for single-chip benchmarking) do not support host send/recv callbacks at
+all.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -45,27 +47,24 @@ def _complex_of(dtype):
     return np.dtype(np.complex64) if dtype == np.float32 else np.dtype(np.complex128)
 
 
+def _host(x):
+    """Fetch a (small) device array to host numpy."""
+    return np.asarray(jax.device_get(x))
+
+
 def eig(A):
     """Eigendecomposition of a small dense matrix, LAPACK GEEV convention
     (reference: Utils.fypp ``eig``; used on the projected Hessenberg,
     IterativeSolvers.fypp:1065).
 
-    Returns ``(w, V)`` complex regardless of input dtype.  Host callback:
-    XLA has no non-Hermitian eig on TPU.
+    Eager host LAPACK; returns numpy ``(w, V)`` complex regardless of input
+    dtype.  Must not be called under ``jit`` (the projected problem lives in
+    the eager driver layer by design).
     """
-    A = jnp.asarray(A)
-    n = A.shape[-1]
-    cdt = _complex_of(A.dtype)
-
-    def _host_eig(a):
-        w, v = np.linalg.eig(np.asarray(a))
-        return w.astype(cdt), v.astype(cdt)
-
-    out_shape = (
-        jax.ShapeDtypeStruct(A.shape[:-2] + (n,), cdt),
-        jax.ShapeDtypeStruct(A.shape, cdt),
-    )
-    return jax.pure_callback(_host_eig, out_shape, A, vmap_method="sequential")
+    a = _host(A)
+    cdt = _complex_of(a.dtype)
+    w, v = np.linalg.eig(a)
+    return w.astype(cdt), v.astype(cdt)
 
 
 def eigh(A):
@@ -79,105 +78,75 @@ def svd(A, full_matrices: bool = False):
 
 
 def schur(A, output: str | None = None):
-    """Schur decomposition ``A = Z T Z^H`` via host callback
+    """Schur decomposition ``A = Z T Z^H``, eager host LAPACK
     (reference: stdlib ``schur`` used by ``krylov_schur``,
     BaseKrylov.fypp:807).
 
     ``output``: 'real' (default for real A, 2x2 blocks for conjugate pairs,
     Z real — keeps a real Krylov basis real after compression) or 'complex'.
     """
-    A = jnp.asarray(A)
+    a = _host(A)
     if output is None:
-        output = "complex" if np.issubdtype(A.dtype, np.complexfloating) else "real"
-
-    def _host(a):
-        T, Z = _sla.schur(np.asarray(a), output=output)
-        return T.astype(a.dtype), Z.astype(a.dtype)
-
-    out = (jax.ShapeDtypeStruct(A.shape, A.dtype),) * 2
-    return jax.pure_callback(_host, out, A, vmap_method="sequential")
-
-
-def _host_ordschur(T, Z, select_mask):
-    """LAPACK TRSEN on host (reference: ``ordschur``, Utils.fypp — TRSEN)."""
-    T = np.asarray(T)
-    Z = np.asarray(Z)
-    mask = np.asarray(select_mask).astype(np.int32)
-    if np.issubdtype(T.dtype, np.complexfloating):
-        trsen = _sla.lapack.ctrsen if T.dtype == np.complex64 else _sla.lapack.ztrsen
-        res = trsen(mask, T, Z, job="N")
-        Ts, Zs = res[0], res[1]
-    else:
-        trsen = _sla.lapack.strsen if T.dtype == np.float32 else _sla.lapack.dtrsen
-        res = trsen(mask, T, Z, job="N")
-        Ts, Zs = res[0], res[1]
-    return Ts.astype(T.dtype), Zs.astype(Z.dtype)
+        output = "complex" if np.issubdtype(a.dtype, np.complexfloating) else "real"
+    T, Z = _sla.schur(a, output=output)
+    return T.astype(a.dtype), Z.astype(a.dtype)
 
 
 def ordschur(T, Z, select_mask):
     """Reorder a Schur factorization so that the eigenvalues flagged in
-    ``select_mask`` occupy the leading block (reference: ``ordschur``,
-    Utils.fypp:128-268; used by ``krylov_schur``, BaseKrylov.fypp:813).
+    ``select_mask`` occupy the leading block — LAPACK TRSEN
+    (reference: ``ordschur``, Utils.fypp:128-268; used by ``krylov_schur``,
+    BaseKrylov.fypp:813).
 
     For real Schur forms LAPACK moves whole 2x2 conjugate-pair blocks, which
     is exactly the behavior the Krylov-Schur restart requires.
     """
-    T = jnp.asarray(T)
-    Z = jnp.asarray(Z)
-    out = (
-        jax.ShapeDtypeStruct(T.shape, T.dtype),
-        jax.ShapeDtypeStruct(Z.shape, Z.dtype),
-    )
-    return jax.pure_callback(
-        _host_ordschur, out, T, Z, select_mask, vmap_method="sequential"
-    )
+    T = _host(T)
+    Z = _host(Z)
+    mask = np.asarray(select_mask).astype(np.int32)
+    if np.issubdtype(T.dtype, np.complexfloating):
+        trsen = _sla.lapack.ctrsen if T.dtype == np.complex64 else _sla.lapack.ztrsen
+    else:
+        trsen = _sla.lapack.strsen if T.dtype == np.float32 else _sla.lapack.dtrsen
+    res = trsen(mask, T, Z, job="N")
+    Ts, Zs = res[0], res[1]
+    return Ts.astype(T.dtype), Zs.astype(Z.dtype)
 
 
 def schur_select(A, select):
     """One-shot sorted Schur form: decompose ``A``, apply the *global*
     eigenvalue selector ``select(eigvals) -> bool mask``, and reorder.
 
-    Host callback combining schur + selector + TRSEN, because the reference's
-    selector interface is global (it sees the whole spectrum at once — e.g.
-    the median-based selector of eigs, IterativeSolvers.fypp:1137-1142), which
-    scipy's per-eigenvalue ``sort`` cannot express.
+    The selector interface is global (it sees the whole spectrum at once —
+    e.g. the median-based selector of eigs,
+    IterativeSolvers.fypp:1137-1142), which scipy's per-eigenvalue ``sort``
+    cannot express; hence schur + selector + TRSEN composed here.
 
-    Returns ``(T, Z, n_selected)``.
+    Returns numpy ``(T, Z, n_selected)``.
     """
-    A = jnp.asarray(A)
-    is_cplx = np.issubdtype(A.dtype, np.complexfloating)
-
-    def _host(a):
-        a = np.asarray(a)
-        T, Z = _sla.schur(a, output="complex" if is_cplx else "real")
-        w = _sla.eigvals(T) if not is_cplx else np.diag(T)
-        mask = np.asarray(select(w), dtype=bool)
-        if not is_cplx:
-            # LAPACK selects whole 2x2 blocks; make the mask pair-consistent.
-            i = 0
-            n = T.shape[0]
-            mask = mask.copy()
-            while i < n - 1:
-                if abs(T[i + 1, i]) > 0:
-                    both = mask[i] or mask[i + 1]
-                    mask[i] = mask[i + 1] = both
-                    i += 2
-                else:
-                    i += 1
-        Ts, Zs = _host_ordschur(T, Z, mask)
-        return Ts, Zs, np.asarray(int(mask.sum()), np.int32)
-
-    out = (
-        jax.ShapeDtypeStruct(A.shape, A.dtype),
-        jax.ShapeDtypeStruct(A.shape, A.dtype),
-        jax.ShapeDtypeStruct((), np.int32),
-    )
-    return jax.pure_callback(_host, out, A, vmap_method="sequential")
+    a = _host(A)
+    is_cplx = np.issubdtype(a.dtype, np.complexfloating)
+    T, Z = _sla.schur(a, output="complex" if is_cplx else "real")
+    w = np.diag(T) if is_cplx else _sla.eigvals(T)
+    mask = np.asarray(select(w), dtype=bool)
+    if not is_cplx:
+        # LAPACK selects whole 2x2 blocks; make the mask pair-consistent.
+        i, n = 0, T.shape[0]
+        mask = mask.copy()
+        while i < n - 1:
+            if abs(T[i + 1, i]) > 0:
+                both = mask[i] or mask[i + 1]
+                mask[i] = mask[i + 1] = both
+                i += 2
+            else:
+                i += 1
+    Ts, Zs = ordschur(T, Z, mask)
+    return Ts, Zs, int(mask.sum())
 
 
 def sqrtm(A, hermitian: bool = True):
     """Matrix square root of a positive-(semi)definite matrix via
-    eigendecomposition with negative-eigenvalue clipping
+    eigendecomposition with negative-eigenvalue clipping — on-device
     (reference: ``sqrtm``, Utils.fypp — SVD-based for semi-definite input)."""
     A = jnp.asarray(A)
     w, V = jnp.linalg.eigh(A)

@@ -170,17 +170,40 @@ def timed(name: str, group: str = "user"):
 #
 # The reference counts every matvec/rmatvec/response on the operator instance
 # (AbstractLinops.fypp:34-37,391-424).  Instances here are immutable pytrees,
-# so counters live in a host-side registry updated through io_callback — they
-# count *executed* applications even from inside jit.
+# so counters live in a host-side registry.  Eager applications increment
+# directly; traced (jitted) applications go through io_callback so *executed*
+# applications are counted — except on runtimes without host-callback support
+# (e.g. the axon PJRT plugin), where ``set_callback_counting(False)`` falls
+# back to trace-time counting (one count per compiled trace).
 
 _counters: dict[str, int] = defaultdict(int)
+_callback_counting = True
+
+
+def set_callback_counting(enabled: bool) -> None:
+    """Disable io_callback-based counting on runtimes that lack host
+    callbacks; counters then record trace events, not executions."""
+    global _callback_counting
+    _callback_counting = enabled
+
+
+def _tracing() -> bool:
+    """True when called during a jit/scan trace (ops return Tracers)."""
+    import jax.numpy as jnp
+
+    return isinstance(jnp.add(0, 0), jax.core.Tracer)
 
 
 def _bump(name: str):
     def cb(_):
         _counters[name] += 1
 
-    jax.experimental.io_callback(cb, None, 0, ordered=False)
+    if not _tracing():
+        _counters[name] += 1  # eager: count directly
+    elif _callback_counting:
+        jax.experimental.io_callback(cb, None, 0, ordered=False)
+    else:
+        _counters[name] += 1  # trace-time count (once per compilation)
 
 
 def matvec_counter(A, name: str):

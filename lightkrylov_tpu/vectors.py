@@ -251,14 +251,32 @@ def linear_combination(X, v):
     vector reconstruction; a tall-skinny GEMM on TPU.)
     """
     v = jnp.asarray(v)
-    if v.ndim == 1:
-        def leaf_fn(Xl):
-            flat = v.astype(Xl.dtype) @ _as_matrix(Xl)
-            return flat.reshape(Xl.shape[1:])
-    else:
-        def leaf_fn(Xl):
-            flat = jnp.einsum("km,ks->ms", v.astype(Xl.dtype), _as_matrix(Xl))
-            return flat.reshape((v.shape[1],) + Xl.shape[1:])
+    v_cplx = np.issubdtype(v.dtype, np.complexfloating)
+
+    def contract(coeff, mat):
+        if coeff.ndim == 1:
+            return coeff @ mat
+        return jnp.einsum("km,ks->ms", coeff, mat)
+
+    def leaf_fn(Xl):
+        mat = _as_matrix(Xl)
+        leaf_cplx = np.issubdtype(Xl.dtype, np.complexfloating)
+        if v_cplx and not leaf_cplx:
+            # Complex coefficients on a real basis (Ritz-vector
+            # reconstruction of a real operator): contract real and
+            # imaginary parts as two *real* MXU matmuls and recombine —
+            # cheaper than complex-emulated matmul on TPU and avoids
+            # complex dot_general entirely.
+            rdt = Xl.dtype
+            re = contract(v.real.astype(rdt), mat)
+            im = contract(v.imag.astype(rdt), mat)
+            flat = jax.lax.complex(re, im)
+        else:
+            dt = jnp.result_type(v.dtype, Xl.dtype)
+            flat = contract(v.astype(dt), mat.astype(dt))
+        shape = Xl.shape[1:] if v.ndim == 1 else (v.shape[1],) + Xl.shape[1:]
+        return flat.reshape(shape)
+
     return jax.tree.map(leaf_fn, X)
 
 

@@ -37,3 +37,7 @@ def dtype(request):
 @pytest.fixture(params=[np.float64, np.complex128], ids=["rdp", "cdp"])
 def dtype_dp(request):
     return request.param
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")

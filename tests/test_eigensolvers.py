@@ -1,0 +1,192 @@
+"""Eigen/SVD solver tests — analytical-spectrum checks
+(reference model: test/TestIterativeSolvers.fypp:135-511 — eigs on
+tridiagonal Toeplitz with closed-form complex eigenvalues, eighs on SPD
+Toeplitz with lambda_i = a + 2|b| cos(i pi/(n+1)) plus eigenvector residual
+and V^H V = I, svds analogous)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lightkrylov_tpu as lk
+from lightkrylov_tpu import vectors
+from lightkrylov_tpu.models import TridiagToeplitz, toeplitz_eigvals
+
+N = 128  # test_size (reference: TestUtils.fypp:18)
+
+
+def _tol(dtype):
+    return lk.rtol(dtype)
+
+
+def test_eigs_toeplitz_analytic(dtype_dp):
+    """eigs on tridiagonal Toeplitz vs closed-form spectrum
+    (reference: TestIterativeSolvers.fypp:135-225)."""
+    dtype = dtype_dp
+    # Skew-symmetric off-diagonals (b upper, -b lower): a *normal* operator
+    # with eigenvalues a +- 2bi cos(k pi/(n+1)), exactly the reference's
+    # real-eigs fixture (TestIterativeSolvers.fypp:164-176).
+    a_, b_ = 2.0, 1.0
+    op = TridiagToeplitz(N, a_, -b_, b_, dtype=dtype)
+    exact = toeplitz_eigvals(N, a_, -b_, b_)
+    exact = exact[np.argsort(-np.abs(exact))]
+    nev, kdim = 6, 32
+    x0 = vectors.rand_like(jax.random.PRNGKey(1), jnp.zeros(N, dtype))
+    evals, evecs, res, info, meta = lk.eigs(op, nev, x0=x0, kdim=kdim,
+                                            tolerance=1e-9)
+    assert meta.converged, f"eigs did not converge: {res}"
+    got = np.asarray(evals)
+    for lam in got:
+        assert np.min(np.abs(exact - lam) / np.abs(lam)) < 1e-8
+    # Ritz residuals: ||A v - lambda v|| small
+    A = op.dense().astype(complex)
+    for i in range(nev):
+        v = np.asarray(vectors.get_column(evecs, i))
+        lam = complex(evals[i])
+        assert np.linalg.norm(A @ v - lam * v) < 1e-6
+
+
+def test_eigs_complex_spectrum(dtype_dp):
+    """b*c < 0 -> genuinely complex eigenvalues of a real operator
+    (conjugate-pair handling, reference: IterativeSolvers.fypp:1073-1083)."""
+    dtype = dtype_dp
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        pytest.skip("exercise the real-operator complex-pair path")
+    op = TridiagToeplitz(N, 1.0, 1.0, -1.0, dtype=dtype)
+    exact = toeplitz_eigvals(N, 1.0, 1.0, -1.0)
+    exact = exact[np.argsort(-np.abs(exact))]
+    nev, kdim = 4, 32
+    x0 = vectors.rand_like(jax.random.PRNGKey(2), jnp.zeros(N, dtype))
+    evals, evecs, res, info, meta = lk.eigs(op, nev, x0=x0, kdim=kdim,
+                                            tolerance=1e-9)
+    assert meta.converged
+    got = np.asarray(evals)
+    for lam in got:
+        assert np.min(np.abs(exact - lam)) < 1e-8
+    # eigenvalues of a real operator come in conjugate pairs
+    for lam in got:
+        if abs(lam.imag) > 1e-10:
+            assert np.min(np.abs(got - np.conj(lam))) < 1e-8
+
+
+def _rotation_spectrum_op(dtype, seed=0):
+    """Real operator with conjugate-pair spectrum r_i e^{+-i theta_i},
+    moduli decaying geometrically — the restart-friendly fixture."""
+    rng = np.random.default_rng(seed)
+    n_pairs = N // 2
+    r = 2.0 * 0.7 ** np.arange(n_pairs)
+    theta = rng.uniform(0.2, np.pi - 0.2, n_pairs)
+    blocks = []
+    for ri, ti in zip(r, theta):
+        blocks.append(ri * np.array([[np.cos(ti), -np.sin(ti)],
+                                     [np.sin(ti), np.cos(ti)]]))
+    A = np.zeros((N, N))
+    for i, Bk in enumerate(blocks):
+        A[2 * i:2 * i + 2, 2 * i:2 * i + 2] = Bk
+    Q, _ = np.linalg.qr(rng.standard_normal((N, N)))
+    A = Q @ A @ Q.T
+    exact = np.concatenate([r * np.exp(1j * theta), r * np.exp(-1j * theta)])
+    exact = exact[np.argsort(-np.abs(exact))]
+    return lk.DenseOperator(jnp.asarray(A.astype(dtype))), exact
+
+
+def test_eigs_restart_path(dtype_dp):
+    """Krylov-Schur restart engages with small kdim and still converges
+    (reference: IterativeSolvers.fypp:1099-1100)."""
+    dtype = dtype_dp
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        pytest.skip("real-operator restart fixture")
+    op, exact = _rotation_spectrum_op(dtype)
+    nev, kdim = 4, 12  # small kdim forces restarts
+    x0 = vectors.rand_like(jax.random.PRNGKey(3), jnp.zeros(N, dtype))
+    evals, evecs, res, info, meta = lk.eigs(
+        op, nev, x0=x0, kdim=kdim, tolerance=1e-9,
+        options=lk.EigsOptions(maxiter=60))
+    assert meta.converged
+    got = np.asarray(evals)
+    for lam in got:
+        assert np.min(np.abs(exact - lam) / np.abs(lam)) < 1e-8
+
+
+def test_eigs_check_every(dtype_dp):
+    """Per-step convergence checking (reference cadence) agrees with the
+    batched default."""
+    dtype = dtype_dp
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        pytest.skip("real-operator fixture")
+    op, _ = _rotation_spectrum_op(dtype)
+    x0 = vectors.rand_like(jax.random.PRNGKey(4), jnp.zeros(N, dtype))
+    e1, _, _, _, m1 = lk.eigs(op, 4, x0=x0, kdim=24, tolerance=1e-9)
+    e2, _, _, _, m2 = lk.eigs(op, 4, x0=x0, kdim=24, tolerance=1e-9,
+                              check_every=1)
+    assert m1.converged and m2.converged
+    assert np.allclose(np.asarray(e1), np.asarray(e2), atol=1e-8)
+    assert m2.n_iter <= m1.n_iter  # early exit saves matvecs
+
+
+def test_eighs_spd_toeplitz(dtype):
+    """eighs on SPD Toeplitz: closed-form lambda_i = a + 2|b| cos(i pi/(n+1)),
+    eigenvector residual, V^H V = I
+    (reference: TestIterativeSolvers.fypp:228-310)."""
+    a, b = 4.0, -1.0
+    op = TridiagToeplitz(N, a, b, b, dtype=dtype)
+    assert op.is_hermitian
+    exact = np.sort(toeplitz_eigvals(N, a, b).real)[::-1]
+    # the reference allocates a full-size basis for this test (X(test_size));
+    # with clustered leading eigenvalues Lanczos needs the large subspace
+    nev, kdim = 6, N
+    x0 = vectors.rand_like(jax.random.PRNGKey(5), jnp.zeros(N, dtype))
+    tol = _tol(dtype)
+    evals, evecs, res, info, meta = lk.eighs(op, nev, x0=x0, kdim=kdim,
+                                             tolerance=tol)
+    assert meta.converged
+    err = np.max(np.abs(np.asarray(evals) - exact[:nev]) / np.abs(exact[:nev]))
+    assert err < tol
+    # orthonormal eigenvectors
+    G = np.asarray(vectors.gram(evecs))
+    assert np.allclose(G, np.eye(nev), atol=100 * tol)
+    # eigenvector residuals
+    A = op.dense()
+    for i in range(nev):
+        v = np.asarray(vectors.get_column(evecs, i))
+        assert np.linalg.norm(A @ v - float(evals[i]) * v) < 100 * tol
+
+
+def test_svds_rectangular(dtype_dp):
+    """svds on a rectangular dense operator vs numpy SVD
+    (reference: TestIterativeSolvers.fypp:405-511)."""
+    dtype = dtype_dp
+    rng = np.random.default_rng(17)
+    m, n = N, N // 2
+    A = rng.standard_normal((m, n))
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        A = A + 1j * rng.standard_normal((m, n))
+    A = A.astype(dtype)
+    exact = np.linalg.svd(A, compute_uv=False)
+    nsv, kdim = 4, n  # full-size basis (dense singular values cluster)
+    u0 = vectors.rand_like(jax.random.PRNGKey(6), jnp.zeros(m, dtype))
+    U, S, V, res, info, meta = lk.svds(
+        lk.DenseOperator(jnp.asarray(A)), nsv, u0=u0,
+        v_template=jnp.zeros(n, dtype), kdim=kdim, tolerance=1e-9)
+    assert meta.converged
+    assert np.allclose(np.asarray(S), exact[:nsv], rtol=1e-9)
+    # A v = s u triplet check + orthonormality
+    for i in range(nsv):
+        u = np.asarray(vectors.get_column(U, i))
+        v = np.asarray(vectors.get_column(V, i))
+        assert np.linalg.norm(A @ v - float(S[i]) * u) < 1e-7
+    assert np.allclose(np.asarray(vectors.gram(U)), np.eye(nsv), atol=1e-8)
+    assert np.allclose(np.asarray(vectors.gram(V)), np.eye(nsv), atol=1e-8)
+
+
+def test_save_eigenspectrum(tmp_path, dtype_dp):
+    """(reference: save_eigenspectrum, IterativeSolvers.fypp:944-963)."""
+    evals = jnp.asarray(np.array([1 + 2j, 3 - 4j]))
+    res = jnp.asarray(np.array([1e-12, 1e-11]))
+    path = str(tmp_path / "spec.npy")
+    lk.save_eigenspectrum(evals, res, path)
+    out = np.load(path)
+    assert out.shape == (2, 3)
+    assert np.allclose(out[:, 0], [1, 3])
+    assert np.allclose(out[:, 1], [2, -4])

@@ -1,0 +1,166 @@
+"""Linear solver tests — solve-and-verify + preconditioned Poisson
+(reference model: test/TestIterativeSolvers.fypp:520-725 random-system
+gmres/fgmres/cg checks; test/TestSpecialMatrices.f90:29-159 block-Jacobi
+PCG on 2D Poisson)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lightkrylov_tpu as lk
+from lightkrylov_tpu.models import (
+    BlockJacobiPoisson,
+    ConvectionDiffusion2D,
+    Poisson2D,
+)
+
+N = 64
+
+
+def _rand(dtype, rng, shape):
+    A = rng.standard_normal(shape)
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        A = A + 1j * rng.standard_normal(shape)
+    return A.astype(dtype)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _tol(dtype):
+    return lk.rtol(dtype)
+
+
+def test_gmres_random_system(dtype, rng):
+    """||Ax - b|| below tol on a well-conditioned random system
+    (reference: TestIterativeSolvers.fypp:520-614)."""
+    A = _rand(dtype, rng, (N, N)) + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+    x, info, meta = lk.gmres(jnp.asarray(A), jnp.asarray(b))
+    assert meta.converged and info > 0
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_gmres_restarted(dtype_dp, rng):
+    """Convergence across restarts with small kdim."""
+    dtype = dtype_dp
+    A = _rand(dtype, rng, (N, N)) + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+    opts = lk.GMRESOptions(kdim=4, maxiter=50)
+    x, info, meta = lk.gmres(jnp.asarray(A), jnp.asarray(b), options=opts)
+    assert meta.converged
+    assert meta.n_iter > 1  # actually restarted
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_gmres_transpose(dtype_dp, rng):
+    """transpose=True solves A^H x = b (reference: gmres transpose flag)."""
+    dtype = dtype_dp
+    A = _rand(dtype, rng, (N, N)) + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+    x, info, meta = lk.gmres(jnp.asarray(A), jnp.asarray(b), transpose=True)
+    assert meta.converged
+    res = np.linalg.norm(A.conj().T @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_gmres_preconditioned(rng):
+    """Right-preconditioned GMRES converges faster than plain."""
+    dtype = np.float64
+    D = np.diag(np.linspace(1, 500, N)).astype(dtype)
+    A = D + 0.5 * _rand(dtype, rng, (N, N))
+    b = _rand(dtype, rng, (N,))
+    M = lk.DiagonalOperator(jnp.asarray(1.0 / np.diag(D)))
+    opts = lk.GMRESOptions(kdim=25, maxiter=40)
+    _, _, meta_plain = lk.gmres(jnp.asarray(A), jnp.asarray(b), options=opts)
+    x, _, meta_prec = lk.gmres(jnp.asarray(A), jnp.asarray(b),
+                               preconditioner=M, options=opts)
+    assert meta_prec.converged
+    assert meta_prec.n_inner <= meta_plain.n_inner
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_fgmres_random_system(dtype_dp, rng):
+    """(reference: fgmres.fypp solve-and-verify)."""
+    dtype = dtype_dp
+    A = _rand(dtype, rng, (N, N)) + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+    x, info, meta = lk.fgmres(jnp.asarray(A), jnp.asarray(b))
+    assert meta.converged
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_cg_spd_system(dtype, rng):
+    """CG on a random SPD/HPD system (reference:
+    TestIterativeSolvers.fypp:616-725)."""
+    M_ = _rand(dtype, rng, (N, N))
+    A = M_ @ M_.conj().T + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+    x, info, meta = lk.cg(lk.DenseOperator(jnp.asarray(A), is_hermitian=True),
+                          jnp.asarray(b))
+    assert meta.converged and info > 0
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_pcg_poisson_block_jacobi():
+    """Preconditioned CG on the 2D Poisson operator with block-Jacobi
+    (tridiagonal-solve) preconditioner, to ||b|| * rtol_dp
+    (reference: test/TestSpecialMatrices.f90:20-159 — 16x8 grid)."""
+    op = Poisson2D(16, 8)
+    M = BlockJacobiPoisson(op)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal((8, 16)))
+    x, info, meta = lk.cg(op, b, preconditioner=M,
+                          options=lk.CGOptions(maxiter=200))
+    assert meta.converged
+    res = float(lk.norm(lk.sub(op.matvec(x), b))) / float(lk.norm(b))
+    assert res < lk.rtol(np.float64)
+    # preconditioning must reduce iteration count vs plain CG
+    _, _, meta_plain = lk.cg(op, b, options=lk.CGOptions(maxiter=200))
+    assert meta.n_iter < meta_plain.n_iter
+
+
+def test_cg_poisson_128_to_1e10():
+    """BASELINE config 1: CG on the 128x128 5-point Laplacian to 1e-10."""
+    op = Poisson2D(128)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal((128, 128)))
+    x, info, meta = lk.cg(op, b, rtol=0.0, atol=1e-10 * float(lk.norm(b)),
+                          preconditioner=BlockJacobiPoisson(op),
+                          options=lk.CGOptions(maxiter=2000))
+    assert meta.converged
+    res = float(lk.norm(lk.sub(op.matvec(x), b))) / float(lk.norm(b))
+    assert res < 1e-10
+
+
+def test_gmres_convdiff(dtype_dp):
+    """BASELINE config 2: restarted GMRES on the nonsymmetric
+    convection-diffusion operator."""
+    if np.issubdtype(np.dtype(dtype_dp), np.complexfloating):
+        pytest.skip("real-operator config")
+    op = ConvectionDiffusion2D(32, 32, eps=1e-2)
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal((32, 32)))
+    x, info, meta = lk.gmres(op, b, options=lk.GMRESOptions(kdim=30, maxiter=200))
+    assert meta.converged
+    res = float(lk.norm(lk.sub(op.matvec(x), b))) / float(lk.norm(b))
+    assert res < lk.rtol(np.float64)
+
+
+def test_gmres_convdiff_single_precision():
+    """Same operator in f32 (BASELINE config 2: 'single + double')."""
+    op = ConvectionDiffusion2D(24, 24, eps=5e-2, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal((24, 24)).astype(np.float32))
+    x, info, meta = lk.gmres(op, b, options=lk.GMRESOptions(kdim=30, maxiter=100))
+    assert meta.converged
+    res = float(lk.norm(lk.sub(op.matvec(x), b))) / float(lk.norm(b))
+    assert res < 10 * lk.rtol(np.float32)

@@ -1,0 +1,81 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; the same kernels
+compile for TPU — the bench harness runs them on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import lightkrylov_tpu as lk
+from lightkrylov_tpu.models import Poisson2D
+from lightkrylov_tpu.ops.pallas import (
+    BellOperator,
+    PallasPoisson2D,
+    bell_from_scipy,
+)
+
+
+@pytest.mark.parametrize("shape,tile", [((64, 32), 16), ((64, 32), 64),
+                                        ((50, 32), 16), ((33, 17), 8)])
+def test_pallas_stencil_parity(shape, tile):
+    """Pallas stencil == XLA stencil on assorted shapes/tilings."""
+    ny, nx = shape
+    ser = Poisson2D(nx, ny)
+    pal = PallasPoisson2D(nx, ny, dtype=jnp.float64, tile=tile, interpret=True)
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((ny, nx)))
+    a = np.asarray(ser.matvec(u))
+    b = np.asarray(pal.matvec(u))
+    assert np.allclose(a, b, rtol=1e-12, atol=1e-9)
+
+
+def test_bell_from_scipy_roundtrip():
+    """Block-ELL assembly reproduces the dense matrix."""
+    rng = np.random.default_rng(1)
+    A = sp.random(100, 90, density=0.05, random_state=1, format="csr")
+    bell = bell_from_scipy(A, bm=8, bn=16, dtype=np.float64)
+    nbr, K, bm, bn = bell.data.shape
+    dense = np.zeros((nbr * bm, (A.shape[1] + bn - 1) // bn * bn))
+    d = np.asarray(bell.data)
+    c = np.asarray(bell.cols)
+    for i in range(nbr):
+        for k in range(K):
+            j = c[i, k]
+            dense[i * bm:(i + 1) * bm, j * bn:(j + 1) * bn] += d[i, k]
+    assert np.allclose(dense[:100, :90], A.toarray())
+    assert bell.nnz == A.nnz
+
+
+def test_bell_spmv_parity():
+    """Pallas Block-ELL SpMV == scipy CSR SpMV."""
+    A = sp.random(256, 256, density=0.03, random_state=2, format="csr")
+    A = A + sp.eye(256)
+    bell = bell_from_scipy(A, bm=8, bn=128, dtype=np.float64)
+    op = BellOperator(bell, interpret=True)
+    x = np.random.default_rng(3).standard_normal(256)
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    ref = A @ x
+    assert np.allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_bell_rmatvec_parity():
+    A = sp.random(256, 256, density=0.03, random_state=4, format="csr")
+    bell = bell_from_scipy(A, bm=8, bn=128, dtype=np.float64)
+    op = BellOperator(bell, interpret=True)
+    y = np.random.default_rng(5).standard_normal(256)
+    got = np.asarray(op.rmatvec(jnp.asarray(y)))
+    ref = A.T @ y
+    assert np.allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_bell_poisson_cg():
+    """CG through the Pallas SpMV operator solves the Poisson system."""
+    nx = 16
+    dense = Poisson2D(nx).dense()
+    A = sp.csr_matrix(dense)
+    bell = bell_from_scipy(A, bm=8, bn=128, dtype=np.float64)
+    op = BellOperator(bell, is_hermitian=True, interpret=True)
+    b = np.random.default_rng(6).standard_normal(nx * nx)
+    x, info, meta = lk.cg(op, jnp.asarray(b), options=lk.CGOptions(maxiter=400))
+    assert meta.converged
+    assert np.linalg.norm(dense @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-7

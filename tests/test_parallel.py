@@ -1,0 +1,106 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: run the serial suite's checks on a multi-device mesh and
+require identical-to-tolerance results — the dimension the reference's
+test suite lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lightkrylov_tpu as lk
+from lightkrylov_tpu import vectors
+from lightkrylov_tpu.models import Poisson2D, poisson2d_eigvals
+from lightkrylov_tpu.parallel import (
+    ShardedPoisson2D,
+    distribute,
+    make_mesh,
+    P,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 2, reason="needs the virtual multi-device mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_sharded_matvec_matches_serial(mesh):
+    """Halo-exchange stencil == single-device stencil."""
+    nx, ny = 32, 64
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((ny, nx))
+    serial = Poisson2D(nx, ny)
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    ud = distribute(jnp.asarray(u), mesh, P(mesh.axis_names[0], None))
+    out_s = np.asarray(serial.matvec(jnp.asarray(u)))
+    out_d = np.asarray(jax.jit(sharded.matvec)(ud))
+    assert np.allclose(out_s, out_d, atol=1e-12)
+
+
+def test_sharded_matvec_sharding_preserved(mesh):
+    """Output keeps the row sharding (no accidental gather)."""
+    sharded = ShardedPoisson2D(32, 64, mesh=mesh, dtype=jnp.float64)
+    u = sharded.template()
+    out = jax.jit(sharded.matvec)(u)
+    assert out.sharding.spec == P(mesh.axis_names[0], None)
+
+
+def test_dot_on_sharded_vectors(mesh):
+    """Batched inner products on sharded bases reduce correctly (single
+    fused all-reduce under jit — SURVEY.md §2 item 3)."""
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((5, 64, 32))
+    y = rng.standard_normal((64, 32))
+    spec = P(None, mesh.axis_names[0], None)
+    Xd = distribute(jnp.asarray(X), mesh, spec)
+    yd = distribute(jnp.asarray(y), mesh, P(mesh.axis_names[0], None))
+    got = jax.jit(vectors.innerprod)(Xd, yd)
+    ref = np.tensordot(X, y, axes=([1, 2], [0, 1]))
+    assert np.allclose(np.asarray(got), ref, atol=1e-12)
+
+
+def test_cg_on_sharded_poisson(mesh):
+    """CG on the sharded operator matches the serial solution."""
+    nx, ny = 16, 32
+    serial = Poisson2D(nx, ny)
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal((ny, nx))
+    bd = distribute(jnp.asarray(b), mesh, P(mesh.axis_names[0], None))
+    xs, _, ms = lk.cg(serial, jnp.asarray(b), options=lk.CGOptions(maxiter=400))
+    xd, _, md = lk.cg(sharded, bd, options=lk.CGOptions(maxiter=400))
+    assert ms.converged and md.converged
+    assert np.allclose(np.asarray(xs), np.asarray(xd), atol=1e-8)
+
+
+def test_gmres_on_sharded_poisson(mesh):
+    nx, ny = 16, 32
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((ny, nx))
+    bd = distribute(jnp.asarray(b), mesh, P(mesh.axis_names[0], None))
+    x, info, meta = lk.gmres(sharded, bd,
+                             options=lk.GMRESOptions(kdim=30, maxiter=60))
+    assert meta.converged
+    res = float(lk.norm(lk.sub(sharded.matvec(x), bd))) / float(lk.norm(bd))
+    assert res < lk.rtol(np.float64)
+
+
+def test_eighs_on_sharded_poisson_analytic(mesh):
+    """BASELINE config 5 (scaled down): leading Poisson eigenvalues on the
+    partitioned operator match the closed form."""
+    nx, ny = 16, 32
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    exact = np.sort(poisson2d_eigvals(nx, ny))[::-1]
+    x0 = distribute(
+        jnp.asarray(np.random.default_rng(4).standard_normal((ny, nx))),
+        mesh, P(mesh.axis_names[0], None))
+    evals, evecs, res, info, meta = lk.eighs(sharded, 4, x0=x0, kdim=200,
+                                             tolerance=1e-9)
+    assert meta.converged
+    err = np.max(np.abs(np.asarray(evals) - exact[:4]) / exact[:4])
+    assert err < 1e-8
