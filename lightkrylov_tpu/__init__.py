@@ -91,6 +91,7 @@ from .solvers import (
     svds,
     save_eigenspectrum,
     kexpm,
+    kexpm_mat,
     krylov_exptA,
     ExponentialPropagator,
     newton,

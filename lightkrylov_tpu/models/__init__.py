@@ -7,6 +7,7 @@ from .toeplitz import TridiagToeplitz, toeplitz_eigvals
 from .poisson import Poisson2D, poisson2d_eigvals, BlockJacobiPoisson
 from .convdiff import ConvectionDiffusion2D
 from .ginzburg_landau import GinzburgLandau, GLPropagator, gl_analytic_eigvals
+from .otd import otd_evolve, otd_rhs, lyapunov_exponents
 from .roessler import (
     roessler_rhs,
     roessler_fixed_points,
@@ -14,6 +15,8 @@ from .roessler import (
     fixed_point_system,
     upo_system,
     UPOJacobian,
+    monodromy,
+    floquet_exponents,
 )
 
 __all__ = [
@@ -32,4 +35,9 @@ __all__ = [
     "fixed_point_system",
     "upo_system",
     "UPOJacobian",
+    "monodromy",
+    "floquet_exponents",
+    "otd_evolve",
+    "otd_rhs",
+    "lyapunov_exponents",
 ]

@@ -35,6 +35,8 @@ __all__ = [
     "fixed_point_system",
     "upo_system",
     "UPOJacobian",
+    "monodromy",
+    "floquet_exponents",
     "A_PARAM",
     "B_PARAM",
     "C_PARAM",
@@ -127,6 +129,25 @@ class UPOJacobian(LinearOperator):
         gpos, gT = vjp(dy)
         dpos = gpos - dy + dT_in * roessler_rhs(pos)
         return {"pos": dpos, "T": gT.astype(v["T"].dtype)}
+
+
+def monodromy(pos, T, n_steps: int = 4000):
+    """Monodromy matrix ``M = d flow_T / d x`` at a point of a periodic
+    orbit (reference: ``monodromy_map``/``floquet_operator``,
+    example/roessler/roessler.f90) — exact autodiff of the RK4 flow."""
+    return jax.jacobian(lambda p: flow(p, T, n_steps))(pos)
+
+
+def floquet_exponents(pos, T, n_steps: int = 4000):
+    """Floquet multipliers and Lyapunov exponents ``ln|mu| / T`` of the
+    orbit through ``pos`` (validation anchors: LE = (0.149141556, 0.0) on
+    the period-1 UPO, reference: roessler_OTD.f90:32)."""
+    import numpy as np
+
+    M = np.asarray(monodromy(pos, T, n_steps))
+    mu = np.linalg.eigvals(M)
+    mu = mu[np.argsort(-np.abs(mu))]
+    return mu, np.log(np.abs(mu)) / float(T)
 
 
 def upo_system(n_steps: int = 1000) -> System:

@@ -7,7 +7,7 @@ from .cg import cg
 from .eigs import eigs, save_eigenspectrum
 from .eighs import eighs
 from .svds import svds
-from .expm import kexpm, krylov_exptA, ExponentialPropagator
+from .expm import kexpm, kexpm_mat, krylov_exptA, ExponentialPropagator
 from .newton import newton, constant_tol, dynamic_tol
 
 __all__ = [
@@ -19,6 +19,7 @@ __all__ = [
     "svds",
     "save_eigenspectrum",
     "kexpm",
+    "kexpm_mat",
     "krylov_exptA",
     "ExponentialPropagator",
     "newton",

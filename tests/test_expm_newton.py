@@ -118,21 +118,56 @@ def test_newton_schedulers():
 @pytest.mark.slow
 def test_newton_roessler_upo():
     """BASELINE config 5: unstable periodic orbit of the Roessler system via
-    Newton-Krylov shooting (reference: example/roessler/main.f90:103).
+    Newton-Krylov shooting, validated against the reference anchors:
+    period-1 UPO with T ~ 5.8811 and Lyapunov exponents
+    (0.149141556, 0.0) (reference: example/roessler/main.f90:87-88 seed,
+    roessler_OTD.f90:32 anchors)."""
+    from lightkrylov_tpu.models import floquet_exponents, flow
 
-    Seed near the known period-1 UPO (T ~ 5.88); verify that the converged
-    orbit closes: ||flow_T(X) - X|| ~ 0 with T > 0."""
-    from lightkrylov_tpu.models import flow
-
-    sys = upo_system(n_steps=2000)
-    X0 = {"pos": jnp.asarray(np.array([5.0, -2.0, 0.02])),
+    sys = upo_system(n_steps=3000)
+    X0 = {"pos": jnp.asarray(np.array([0.0, 6.1, 1.3])),  # reference seed
           "T": jnp.asarray(6.0)}
     opts = lk.NewtonOptions(maxiter=60)
     gopts = lk.GMRESOptions(kdim=4, maxiter=10)
-    X, info, meta = lk.newton(sys, X0, rtol=0.0, atol=1e-10, options=opts,
+    X, info, meta = lk.newton(sys, X0, rtol=0.0, atol=1e-11, options=opts,
                               linear_solver_options=gopts)
     assert meta.converged, f"residuals: {meta.residuals}"
     T = float(X["T"])
-    assert T > 1.0
-    closure = flow(X["pos"], X["T"], 2000) - X["pos"]
+    assert abs(T - 5.88108845) < 1e-5
+    closure = flow(X["pos"], X["T"], 3000) - X["pos"]
     assert float(jnp.linalg.norm(closure)) < 1e-8
+    # Floquet/Lyapunov anchors (roessler_OTD.f90:32)
+    mu, LE = floquet_exponents(X["pos"], X["T"], 4000)
+    assert abs(LE[0] - 0.149141556) < 1e-6
+    assert abs(LE[1]) < 1e-8
+
+
+def test_otd_instantaneous_eigs_fixed_point():
+    """OTD modes at the Roessler fixed point: instantaneous reduced-operator
+    eigenvalue real parts = 0.097000856 (x2)
+    (reference anchor: roessler_OTD.f90:31)."""
+    from lightkrylov_tpu.models import otd_evolve, roessler_rhs
+
+    fp_minus, _ = roessler_fixed_points()
+    U0 = jnp.asarray(np.linalg.qr(
+        np.random.default_rng(0).standard_normal((3, 2)))[0])
+    x, U, Lr, lyap = otd_evolve(roessler_rhs, jnp.asarray(fp_minus), U0,
+                                50.0, 20000)
+    w = np.linalg.eigvals(np.asarray(Lr))
+    assert np.allclose(np.sort(w.real), [0.097000856, 0.097000856], atol=1e-7)
+
+
+def test_kexpm_mat_block(dtype_dp, rng):
+    """Block Krylov expm vs dense on a 3-column block
+    (reference: kexpm_mat, ExpmLib.fypp:234-363)."""
+    dtype = dtype_dp
+    A = (_rand(dtype, rng, (N, N)) / np.sqrt(N)).astype(dtype)
+    B = _rand(dtype, rng, (3, N))  # stacked block of 3 columns
+    C, info = lk.kexpm_mat(jnp.asarray(A), jnp.asarray(B), 0.4, tol=1e-10,
+                           kdim=60)
+    assert info > 0
+    E = sla.expm(0.4 * A)
+    for j in range(3):
+        exact = E @ B[j]
+        got = np.asarray(jax.tree_util.tree_leaves(C)[0])[j]
+        assert np.linalg.norm(got - exact) / np.linalg.norm(exact) < 1e-8

@@ -1,0 +1,197 @@
+"""Utility-layer tests: timers, logger/check_info, counters, sqrtm,
+givens rotations, checkpoint/resume
+(reference models: Timer_Utils tests, Logger check_info decoding
+Logger.f90:316-748, sqrtm tests TestExpmlib.fypp:238-364)."""
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lightkrylov_tpu as lk
+from lightkrylov_tpu import vectors
+from lightkrylov_tpu.krylov import arnoldi, initialize_arnoldi
+from lightkrylov_tpu.utils import checkpoint, linalg
+from lightkrylov_tpu.utils.logger import LightKrylovError, check_info
+from lightkrylov_tpu.utils.timer import (
+    Timer,
+    Watch,
+    get_counter,
+    matvec_counter,
+    reset_counters,
+    set_timing,
+    timed,
+)
+
+
+# -- timers ------------------------------------------------------------------
+
+def test_timer_basic():
+    t = Timer("t")
+    t.start(); time.sleep(0.01); t.stop()
+    t.start(); time.sleep(0.01); t.stop()
+    assert t.count == 2
+    assert t.etime >= 0.02
+    assert t.tmin <= t.tmax
+    t.reset(soft=True)
+    assert t.count == 0 and len(t.history) == 1
+    t.reset(soft=False)
+    assert len(t.history) == 0
+
+
+def test_watch_groups_and_summary():
+    w = Watch("test_watch")
+    w.add_timer("a", group="g1")
+    w.add_timer("b", group="g2")
+    w.timer("a").start(); w.timer("a").stop()
+    s = w.summary()
+    assert "g1" in s and "a" in s
+    w.remove_timer("a")
+    assert "a" not in w._timers
+
+
+def test_timed_context_gated():
+    from lightkrylov_tpu.utils.timer import global_watch
+    set_timing(False)
+    with timed("not_recorded"):
+        pass
+    assert "not_recorded" not in global_watch._timers
+    set_timing(True)
+    with timed("recorded"):
+        pass
+    assert global_watch._timers["recorded"].count == 1
+    set_timing(False)
+
+
+def test_matvec_counter_eager_and_jit():
+    """(reference: apply_matvec counters, AbstractLinops.fypp:391-424)."""
+    reset_counters()
+    op = matvec_counter(lk.DenseOperator(jnp.eye(4)), "A")
+    x = jnp.ones(4)
+    op.matvec(x)
+    op.matvec(x)
+    op.rmatvec(x)
+    assert get_counter("A.matvec") == 2
+    assert get_counter("A.rmatvec") == 1
+    # inside jit: io_callback counts executions (CPU supports callbacks)
+    jax.jit(op.matvec)(x).block_until_ready()
+    assert get_counter("A.matvec") == 3
+
+
+# -- logger ------------------------------------------------------------------
+
+def test_check_info_benign_and_fatal():
+    check_info(0, "gmres")           # no-op
+    check_info(5, "arnoldi")         # benign breakdown, logs only
+    check_info(-2, "kexpm")          # benign for kexpm
+    with pytest.raises(LightKrylovError):
+        check_info(-1, "gmres")
+
+
+def test_logger_setup_levels(caplog):
+    lk.logger_setup(log_level=logging.WARNING)
+    with caplog.at_level(logging.INFO, logger="lightkrylov_tpu"):
+        lk.logger.log_information("hidden")
+        lk.logger.log_warning("shown")
+    lk.logger_setup()  # restore defaults
+
+
+def test_greetings():
+    assert "lightkrylov_tpu" in lk.greetings()
+
+
+# -- dense utils -------------------------------------------------------------
+
+def test_sqrtm_posdef(dtype_dp):
+    """(reference: sqrtm tests, TestExpmlib.fypp:238-364)."""
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((16, 16))
+    if np.issubdtype(np.dtype(dtype_dp), np.complexfloating):
+        M = M + 1j * rng.standard_normal((16, 16))
+    A = (M @ M.conj().T + 16 * np.eye(16)).astype(dtype_dp)
+    S = np.asarray(linalg.sqrtm(jnp.asarray(A)))
+    assert np.allclose(S @ S, A, atol=1e-10)
+
+
+def test_sqrtm_semidefinite():
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((16, 4))
+    A = M @ M.T  # rank 4 PSD
+    S = np.asarray(linalg.sqrtm(jnp.asarray(A)))
+    assert np.allclose(S @ S, A, atol=1e-10)
+
+
+def test_givens_rotation_annihilates(dtype):
+    rng = np.random.default_rng(2)
+    a, b = rng.standard_normal(2)
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        a, b = a + 1j * 0.3, b - 1j * 0.7
+    a = jnp.asarray(np.array(a, dtype=dtype))
+    b = jnp.asarray(np.array(b, dtype=dtype))
+    c, s = linalg.givens_rotation(a, b)
+    lo = -jnp.conj(s) * a + c * b if False else (-s * a + c * b)
+    assert abs(complex(lo)) < 1e-6
+    # rotation preserves the norm
+    r = c * a + jnp.conj(s) * b
+    assert np.isclose(abs(complex(r)), np.sqrt(abs(complex(a))**2 + abs(complex(b))**2), rtol=1e-5)
+
+
+def test_ordschur_moves_selected():
+    """(reference: ordschur via TRSEN, Utils.fypp)."""
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((8, 8))
+    T, Z = linalg.schur(jnp.asarray(A))
+    w = np.linalg.eigvals(T)
+    # select the eigenvalue with largest real part
+    mask = np.zeros(8, bool)
+    mask[np.argmax(w.real)] = True
+    # pair-consistent selection handled by schur_select; use it directly
+    Ts, Zs, n = linalg.schur_select(jnp.asarray(A), lambda ev: ev.real >= np.max(ev.real) - 1e-12)
+    kept = np.linalg.eigvals(Ts[:n, :n])
+    assert np.max(kept.real) >= np.max(w.real) - 1e-10
+    # similarity preserved
+    assert np.allclose(Zs @ Ts @ Zs.T, A, atol=1e-10)
+
+
+# -- checkpoint --------------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"X": jnp.arange(12.0).reshape(3, 4), "k": jnp.asarray(7),
+             "nested": {"H": jnp.ones((2, 2))}}
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(state, path)
+    restored = checkpoint.load_checkpoint(jax.tree.map(jnp.zeros_like, state), path)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_arnoldi(dtype_dp):
+    """Save a half-built factorization, restore, continue: identical result
+    (the resume capability the reference lacks — SURVEY.md §5)."""
+    import tempfile, os
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((64, 64)).astype(dtype_dp)
+    if np.issubdtype(np.dtype(dtype_dp), np.complexfloating):
+        A = A + 1j * rng.standard_normal((64, 64)).astype(np.float64)
+        A = A.astype(dtype_dp)
+    op = lk.DenseOperator(jnp.asarray(A))
+    x0 = vectors.rand_like(jax.random.PRNGKey(0), jnp.zeros(64, dtype_dp))
+    kdim = 10
+    # full run
+    Xf, Hf = initialize_arnoldi(x0, kdim)
+    Xf, Hf, _ = arnoldi(op, Xf, Hf)
+    # half run + checkpoint + resume
+    X, H = initialize_arnoldi(x0, kdim)
+    X, H, _ = arnoldi(op, X, H, kend=5)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "state.npz")
+        checkpoint.save_checkpoint({"X": X, "H": H, "k": jnp.asarray(5)}, p)
+        st = checkpoint.load_checkpoint(
+            {"X": jax.tree.map(jnp.zeros_like, X), "H": jnp.zeros_like(H),
+             "k": jnp.asarray(0)}, p)
+    Xr, Hr, _ = arnoldi(op, st["X"], st["H"], kstart=int(st["k"]) + 1)
+    assert np.allclose(np.asarray(Hr), np.asarray(Hf), atol=1e-12)
