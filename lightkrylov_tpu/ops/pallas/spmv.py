@@ -71,6 +71,17 @@ def bell_from_scipy(A, bm: int = 8, bn: int = 128, dtype=np.float32) -> BellMatr
     nbr = m_p // bm
     nbc = n_p // bn
 
+    # Native C++ assembler for real dtypes (identical layout contract);
+    # numpy fallback below otherwise.
+    if np.dtype(dtype) in (np.float32, np.float64):
+        from ... import native
+
+        if native.available():
+            data, cols, K = native.bell_assemble(A, bm, bn, dtype)
+            mat = BellMatrix(jnp.asarray(data), jnp.asarray(cols), (m, n), A.nnz)
+            mat.fill_ratio = A.nnz / data.size if data.size else 1.0
+            return mat
+
     coo = A.tocoo()
     br = coo.row.astype(np.int64) // bm
     bc = coo.col.astype(np.int64) // bn

@@ -1,17 +1,23 @@
-"""Hermitian eigenvalue solver: Lanczos + dense eigh.
+"""Hermitian eigenvalue solver: Lanczos + dense eigh, with thick restart.
 
 TPU-native counterpart of ``eighs``
 (reference: src/IterativeSolvers/EIGHS/eighs.fypp): incremental Lanczos with
 full re-orthogonalization plus a dense ``eigh`` of the projected tridiagonal
 each check (eighs.fypp:79-101), Ritz residuals ``|beta * v_last|`` (:91-92),
-**no restart** (the reference notes restart as WIP,
-IterativeSolvers.fypp:743-746), descending sort and Ritz-vector
-reconstruction (:107-123).
+descending sort and Ritz-vector reconstruction (:107-123).
 
-On TPU the dense tridiagonal eigensolve runs fully on-device
-(``jnp.linalg.eigh`` lowers to XLA on TPU) — no host callback on this path.
-``check_every = 0`` (default) runs the whole jitted Lanczos sweep then
-checks once; ``check_every = 1`` reproduces the reference's per-step checks.
+The reference has **no restart** (noted WIP, IterativeSolvers.fypp:743-746);
+here we add standard *thick restart* (Wu & Simon): on non-convergence at
+``kdim`` the basis is compressed onto the ``n`` best Ritz vectors,
+``T`` becomes diag(theta) with the residual coupling row
+``beta * v_last`` at row ``n``, and Lanczos continues from column ``n+1`` —
+the full CGS2 re-orthogonalization of :mod:`lanczos` keeps the identity
+``A X_k = X_{k+1} T_k`` exact for the resulting arrowhead matrix.
+
+On TPU the dense eigensolve runs fully on-device (``jnp.linalg.eigh``
+lowers on TPU); only the convergence check syncs.  ``check_every = 0``
+(default) checks once per Lanczos sweep; ``check_every = 1`` reproduces the
+reference's per-step cadence.
 """
 
 from __future__ import annotations
@@ -24,10 +30,22 @@ from .. import constants, vectors
 from ..krylov.lanczos import initialize_lanczos, lanczos
 from ..linops import aslinop
 from .eigs import _reconstruct
-from ..utils.logger import log_warning
+from ..utils.logger import log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
 
 __all__ = ["eighs"]
+
+
+@jax.jit
+def _thick_restart_compress(X, V_keep, diag_w, coupling):
+    """On-device compression: Xc = X[:kdim] @ V_keep (tall-skinny GEMM) and
+    rebuild of the (kdim+1, kdim) T buffer with diag + coupling row."""
+    kdim = V_keep.shape[0]
+    X_lead = jax.tree.map(lambda l: l[:kdim], X)
+    Xc = vectors.linear_combination(X_lead, V_keep)
+    T_new = jnp.zeros((kdim + 1, kdim), V_keep.dtype)
+    T_new = T_new.at[jnp.arange(kdim), jnp.arange(kdim)].set(diag_w)
+    return Xc, T_new, coupling
 
 
 def eighs(A, nev: int, x0=None, kdim: int | None = None,
@@ -35,7 +53,8 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
           key=None, check_every: int | None = None):
     """Leading eigenpairs of a symmetric/Hermitian operator ->
     ``(eigvals, eigvecs, residuals, info, metadata)``; eigvals real,
-    sorted descending (reference: ``eighs``, eighs.fypp:28-123)."""
+    sorted descending (reference: ``eighs``, eighs.fypp:28-123; restart
+    cycles bounded by ``options.maxiter``)."""
     A = aslinop(A)
     opts = options or EigsOptions()
     if kdim is None:
@@ -55,39 +74,67 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
     X, T = initialize_lanczos(seed, kdim)
 
     niter = 0
-    k = 1
+    kstart = 1
     res_history = []
     invariant = False
-    while k <= kdim:
-        kend = min(kdim, k + stride - 1)
-        X, T, linfo = lanczos(A, X, T, kstart=k, kend=kend)
-        linfo = int(linfo)
-        k_eff = linfo if linfo > 0 else kend
-        niter += k_eff - (k - 1)
+    n_conv = 0
+    for cycle in range(opts.maxiter):
+        k = kstart
+        while k <= kdim:
+            kend = min(kdim, k + stride - 1)
+            X, T, linfo = lanczos(A, X, T, kstart=k, kend=kend)
+            linfo = int(linfo)
+            k_eff = linfo if linfo > 0 else kend
+            niter += k_eff - (k - 1)
 
-        Th = np.asarray(jax.device_get(T))
-        # Symmetrize the projected block (CGS2 fills tiny asymmetric noise).
-        Tk = Th[:k_eff, :k_eff]
-        Tk = (Tk + Tk.conj().T) / 2
-        w, V = np.linalg.eigh(Tk)
-        beta = abs(Th[k_eff, k_eff - 1])
-        r = beta * np.abs(V[-1, :])
-        if linfo > 0:
-            r = np.zeros_like(r)
-            invariant = True
-        order = np.argsort(-w)  # descending eigenvalue (:107)
-        w, V, r = w[order], V[:, order], r[order]
-        n_conv = int(np.sum(r < tol))
-        res_history.append(r[: min(nev, len(r))].copy())
-        evals, evecs, res, k_final = w, V, r, k_eff
+            Th = np.asarray(jax.device_get(T))
+            Tk = Th[:k_eff, :k_eff]
+            Tk = (Tk + Tk.conj().T) / 2  # CGS2 fills tiny asymmetric noise
+            w, V = np.linalg.eigh(Tk)
+            beta = abs(Th[k_eff, k_eff - 1])
+            r = beta * np.abs(V[-1, :])
+            if linfo > 0:
+                r = np.zeros_like(r)
+                invariant = True
+            order = np.argsort(-w)  # descending eigenvalue (:107)
+            w, V, r = w[order], V[:, order], r[order]
+            n_conv = int(np.sum(r[:nev] < tol))
+            res_history.append(r[: min(nev, len(r))].copy())
+            evals, evecs, res, k_final = w, V, r, k_eff
+            if n_conv >= nev or invariant:
+                break
+            k = kend + 1
         if n_conv >= nev or invariant:
             break
-        k = kend + 1
+        if cycle < opts.maxiter - 1 and k_final == kdim:
+            # Thick restart: keep the n best Ritz pairs + residual vector.
+            n = min(max(nev + (kdim - nev) // 2, nev + 1), kdim - 1)
+            Vk = np.zeros((kdim, kdim), dtype=np.dtype(dt))
+            Vk[:, :n] = evecs[:, :n]
+            diag_w = np.zeros(kdim, dtype=np.dtype(dt))
+            diag_w[:n] = evals[:n]
+            beta = np.asarray(jax.device_get(T[kdim, kdim - 1]))
+            coupling = np.zeros(kdim, dtype=np.dtype(dt))
+            coupling[:n] = beta * evecs[kdim - 1, :n]
+            Xc, T_new, coup = _thick_restart_compress(
+                X, jnp.asarray(Vk), jnp.asarray(diag_w), jnp.asarray(coupling))
+            T_new = T_new.at[n, :].set(coup)
+            Xres = vectors.get_column(X, kdim)
+            X = jax.tree.map(
+                lambda c, full: jnp.concatenate(
+                    [c, jnp.zeros_like(full[:1])], axis=0),
+                Xc, X)
+            X = vectors.set_column(X, n, Xres)
+            T = T_new
+            kstart = n + 1
+            log_information(
+                f"eighs: thick restart cycle {cycle + 1}, kept n={n}, "
+                f"{n_conv}/{nev} converged", "solvers", "eighs")
 
     converged = n_conv >= nev or invariant
     if not converged:
-        log_warning(f"eighs: only {n_conv}/{nev} pairs converged (no restart — "
-                    "increase kdim)", "solvers", "eighs")
+        log_warning(f"eighs: only {n_conv}/{nev} pairs converged "
+                    f"after {opts.maxiter} cycles", "solvers", "eighs")
 
     nev_out = min(nev, len(evals))
     coeffs = np.zeros((kdim, nev_out), dtype=np.dtype(dt))
@@ -101,7 +148,7 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
         residuals=np.concatenate(res_history) if res_history else np.zeros(0),
     )
     return (
-        jnp.asarray(evals[:nev_out].astype(rdt)),
+        jnp.asarray(evals[:nev_out].real.astype(rdt)),
         ritz_vecs,
         jnp.asarray(res[:nev_out].astype(rdt)),
         info,

@@ -190,3 +190,22 @@ def test_save_eigenspectrum(tmp_path, dtype_dp):
     assert out.shape == (2, 3)
     assert np.allclose(out[:, 0], [1, 3])
     assert np.allclose(out[:, 1], [2, -4])
+
+
+def test_eighs_thick_restart(dtype_dp):
+    """Thick-restart Lanczos converges with kdim << the no-restart
+    requirement (capability beyond the reference, which notes restart as
+    WIP — IterativeSolvers.fypp:743-746)."""
+    dtype = dtype_dp
+    a, b = 4.0, -1.0
+    op = TridiagToeplitz(N, a, b, b, dtype=dtype)
+    exact = np.sort(toeplitz_eigvals(N, a, b).real)[::-1]
+    x0 = vectors.rand_like(jax.random.PRNGKey(9), jnp.zeros(N, dtype))
+    evals, evecs, res, info, meta = lk.eighs(
+        op, 6, x0=x0, kdim=32, tolerance=1e-9,
+        options=lk.EigsOptions(maxiter=80))
+    assert meta.converged
+    err = np.max(np.abs(np.asarray(evals) - exact[:6]) / np.abs(exact[:6]))
+    assert err < 1e-9
+    G = np.asarray(vectors.gram(evecs))
+    assert np.allclose(G, np.eye(6), atol=1e-8)

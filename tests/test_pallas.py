@@ -79,3 +79,42 @@ def test_bell_poisson_cg():
     x, info, meta = lk.cg(op, jnp.asarray(b), options=lk.CGOptions(maxiter=400))
     assert meta.converged
     assert np.linalg.norm(dense @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-7
+
+
+def test_native_assembler_matches_numpy():
+    """C++ Block-ELL assembler produces the identical layout as the numpy
+    path (skipped if no compiler)."""
+    from lightkrylov_tpu import native
+    from lightkrylov_tpu.ops.pallas import spmv as spmv_mod
+
+    if not native.available():
+        pytest.skip("native assembler unavailable")
+    A = sp.random(300, 300, density=0.02, random_state=7, format="csr")
+    A = A + sp.eye(300)
+    d_nat, c_nat, K = native.bell_assemble(A, 8, 128, np.float64)
+    # numpy path: force fallback by requesting complex? instead call the
+    # internal path with a complex view of the same matrix
+    bell_np = bell_from_scipy(A.astype(np.complex128), bm=8, bn=128,
+                              dtype=np.complex128)
+    assert K == bell_np.K
+    assert np.array_equal(c_nat, np.asarray(bell_np.cols))
+    assert np.allclose(d_nat, np.asarray(bell_np.data).real)
+
+
+def test_native_assembler_timing_smoke():
+    from lightkrylov_tpu import native
+    if not native.available():
+        pytest.skip("native assembler unavailable")
+    # 5-point Laplacian at 512x512 (1.3M nnz) assembles quickly
+    import time
+    n = 512
+    d = Poisson2D(n).hx  # noqa: F841  (construct for parity of parameters)
+    import scipy.sparse as sp2
+    I = sp2.eye(n)
+    T = sp2.diags([-1, 2, -1], [-1, 0, 1], (n, n))
+    A = (sp2.kron(I, T) + sp2.kron(T, I)).tocsr()
+    t0 = time.perf_counter()
+    data, cols, K = native.bell_assemble(A, 8, 128, np.float32)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0
+    assert data.shape[0] == (n * n) // 8

@@ -104,3 +104,31 @@ def test_eighs_on_sharded_poisson_analytic(mesh):
     assert meta.converged
     err = np.max(np.abs(np.asarray(evals) - exact[:4]) / exact[:4])
     assert err < 1e-8
+
+
+def _count_allreduce_ops(hlo: str) -> int:
+    import re
+    # op *definitions* only ("%name = ty all-reduce(..." or all-reduce-start)
+    return len(re.findall(r"= \S+ all-reduce(?:-start)?\(", hlo))
+
+
+def test_innerprod_single_allreduce(mesh):
+    """The CGS2 batched projection must lower to a single fused all-reduce
+    per pass (SURVEY.md §2 item 3 — the low-synch design target)."""
+    rng = np.random.default_rng(7)
+    X = distribute(jnp.asarray(rng.standard_normal((9, 64, 32))), mesh,
+                   P(None, mesh.axis_names[0], None))
+    y = distribute(jnp.asarray(rng.standard_normal((64, 32))), mesh,
+                   P(mesh.axis_names[0], None))
+    hlo = jax.jit(vectors.innerprod).lower(X, y).compile().as_text()
+    n_ar = _count_allreduce_ops(hlo)
+    assert n_ar == 1, f"expected one fused all-reduce, found {n_ar}"
+
+
+def test_gram_single_allreduce(mesh):
+    rng = np.random.default_rng(8)
+    X = distribute(jnp.asarray(rng.standard_normal((9, 64, 32))), mesh,
+                   P(None, mesh.axis_names[0], None))
+    hlo = jax.jit(vectors.gram).lower(X).compile().as_text()
+    n_ar = _count_allreduce_ops(hlo)
+    assert n_ar == 1, f"expected one fused all-reduce, found {n_ar}"
