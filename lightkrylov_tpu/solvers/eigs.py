@@ -39,15 +39,31 @@ __all__ = ["eigs", "save_eigenspectrum"]
 
 
 @jax.jit
-def _reconstruct(X_lead, coeffs):
-    """Jitted Ritz-vector reconstruction ``X @ coeffs``.
-
-    Explicitly jitted rather than eager: complex-coefficient contraction
-    splits into real MXU matmuls inside (vectors.linear_combination), and
-    the axon PJRT plugin used for single-chip benchmarking miscompiles the
-    equivalent *eager* einsum dispatch while handling the jitted lowering
-    fine."""
+def _reconstruct_jit(X_lead, coeffs):
     return vectors.linear_combination(X_lead, coeffs)
+
+
+def _reconstruct(X_lead, coeffs):
+    """Ritz-vector reconstruction ``X @ coeffs`` (jitted tall-skinny GEMM).
+
+    When the coefficients are complex over a *real* basis (real-operator
+    eigenproblem), the contraction is performed as two real MXU matmuls —
+    with the real/imag split done *outside* the jit boundary and the complex
+    result assembled eagerly.  Besides being cheaper than complex-emulated
+    matmul, this keeps the hot path free of complex jit arguments, which
+    the axon PJRT plugin used for single-chip benchmarking cannot compile
+    (UNIMPLEMENTED on any jitted computation with a complex input buffer).
+    """
+    coeffs = np.asarray(coeffs)
+    basis_real = not any(
+        np.issubdtype(l.dtype, np.complexfloating)
+        for l in jax.tree_util.tree_leaves(X_lead))
+    if np.issubdtype(coeffs.dtype, np.complexfloating) and basis_real:
+        rdt = jax.tree_util.tree_leaves(X_lead)[0].dtype
+        re = _reconstruct_jit(X_lead, jnp.asarray(coeffs.real.astype(rdt)))
+        im = _reconstruct_jit(X_lead, jnp.asarray(coeffs.imag.astype(rdt)))
+        return jax.tree.map(jax.lax.complex, re, im)
+    return _reconstruct_jit(X_lead, jnp.asarray(coeffs))
 
 
 def _ritz_residuals(H, evecs, k):

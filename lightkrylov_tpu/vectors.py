@@ -194,10 +194,24 @@ def copy(X):
 
 def zeros_basis(x_template, k: int):
     """A k-column zero basis shaped like ``x_template``
-    (reference: ``zero_basis``, AbstractVectors.fypp:697-708)."""
-    return jax.tree.map(
-        lambda l: jnp.zeros((k,) + l.shape, l.dtype), x_template
-    )
+    (reference: ``zero_basis``, AbstractVectors.fypp:697-708).
+
+    Propagates the template's ``NamedSharding`` with a replicated leading
+    (column) axis, so Krylov buffers of row-partitioned state vectors are
+    allocated sharded rather than replicated — essential at 10M-DoF scale.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def leaf_fn(l):
+        shape = (k,) + l.shape
+        sharding = getattr(l, "sharding", None)
+        if isinstance(sharding, NamedSharding):
+            spec = PartitionSpec(None, *sharding.spec)
+            return jnp.zeros(shape, l.dtype,
+                             device=NamedSharding(sharding.mesh, spec))
+        return jnp.zeros(shape, l.dtype)
+
+    return jax.tree.map(leaf_fn, x_template)
 
 
 def zero_basis_like(X):

@@ -132,3 +132,18 @@ def test_gram_single_allreduce(mesh):
     hlo = jax.jit(vectors.gram).lower(X).compile().as_text()
     n_ar = _count_allreduce_ops(hlo)
     assert n_ar == 1, f"expected one fused all-reduce, found {n_ar}"
+
+
+def test_zeros_basis_propagates_sharding(mesh):
+    """Krylov buffers of sharded templates are allocated sharded, not
+    replicated (memory-critical at 10M DoF)."""
+    x = distribute(jnp.zeros((64, 32)), mesh, P(mesh.axis_names[0], None))
+    X = vectors.zeros_basis(x, 5)
+    assert X.sharding.spec == P(None, mesh.axis_names[0], None)
+    # and the eager Arnoldi init keeps it sharded
+    from lightkrylov_tpu.krylov.arnoldi import initialize_arnoldi
+    rng = np.random.default_rng(0)
+    x0 = distribute(jnp.asarray(rng.standard_normal((64, 32))), mesh,
+                    P(mesh.axis_names[0], None))
+    Xb, H = initialize_arnoldi(x0, 6)
+    assert Xb.sharding.spec[1] == mesh.axis_names[0]
