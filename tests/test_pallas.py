@@ -102,19 +102,31 @@ def test_native_assembler_matches_numpy():
 
 
 def test_native_assembler_timing_smoke():
+    """Assembly of a genuinely block-sparse matrix (the format's target:
+    multi-dof-per-node PDE operators) is fast.  Note: 1-wide diagonal
+    stencils pad catastrophically in Block-ELL (sub-1% fill) — those use
+    the dedicated stencil kernel instead."""
     from lightkrylov_tpu import native
     if not native.available():
         pytest.skip("native assembler unavailable")
-    # 5-point Laplacian at 512x512 (1.3M nnz) assembles quickly
     import time
-    n = 512
-    d = Poisson2D(n).hx  # noqa: F841  (construct for parity of parameters)
-    import scipy.sparse as sp2
-    I = sp2.eye(n)
-    T = sp2.diags([-1, 2, -1], [-1, 0, 1], (n, n))
-    A = (sp2.kron(I, T) + sp2.kron(T, I)).tocsr()
+    rng = np.random.default_rng(11)
+    # 4096x4096 with 3 dense 8x128 blocks per block row (~1.5M nnz, fill=1)
+    nbr, K_true, bm, bn = 512, 3, 8, 128
+    rows, cols_, vals = [], [], []
+    for i in range(nbr):
+        for j in rng.choice(nbr // 4, K_true, replace=False):
+            r0, c0 = i * bm, int(j) * bn
+            blk = rng.standard_normal((bm, bn))
+            rr, cc = np.meshgrid(np.arange(bm), np.arange(bn), indexing="ij")
+            rows.append((r0 + rr).ravel()); cols_.append((c0 + cc).ravel())
+            vals.append(blk.ravel())
+    A = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols_))),
+        shape=(nbr * bm, (nbr // 4) * bn))
     t0 = time.perf_counter()
-    data, cols, K = native.bell_assemble(A, 8, 128, np.float32)
+    data, cols, K = native.bell_assemble(A, bm, bn, np.float32)
     dt = time.perf_counter() - t0
     assert dt < 5.0
-    assert data.shape[0] == (n * n) // 8
+    assert K == K_true
+    assert data.shape[0] == nbr
