@@ -49,6 +49,7 @@ from .vectors import (
 
 from .linops import (
     LinearOperator,
+    Preconditioner,
     MatvecOperator,
     DenseOperator,
     DiagonalOperator,

@@ -27,6 +27,7 @@ from . import vectors
 
 __all__ = [
     "LinearOperator",
+    "Preconditioner",
     "MatvecOperator",
     "DenseOperator",
     "DiagonalOperator",
@@ -146,6 +147,24 @@ def aslinop(A) -> LinearOperator:
 
 
 # -- concrete operators ------------------------------------------------------
+
+
+class Preconditioner(LinearOperator):
+    """Base class for iteration-aware preconditioners.
+
+    Mirrors ``abstract_precond_*%apply(vec, [iter, current_residual,
+    target_residual])`` (reference: IterativeSolvers.fypp:80-95): solvers
+    call :meth:`apply` with the inner-iteration index and residual state so
+    adaptive preconditioners (e.g. relaxed inner tolerances) are possible;
+    FGMRES additionally permits per-iteration *varying* preconditioners.
+    Plain :class:`LinearOperator` preconditioners are applied via ``matvec``.
+    """
+
+    def apply(self, v, iteration=0, current_residual=0.0, target_residual=0.0):
+        return self.matvec(v)
+
+    def matvec(self, x):
+        return self.apply(x)
 
 
 class MatvecOperator(LinearOperator):

@@ -140,7 +140,7 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
     coeffs = np.zeros((kdim, nev_out), dtype=np.dtype(dt))
     coeffs[:k_final, :] = evecs[:, :nev_out]
     X_lead = jax.tree.map(lambda l: l[:kdim], X)
-    ritz_vecs = _reconstruct(X_lead, jnp.asarray(coeffs))
+    ritz_vecs = _reconstruct(X_lead, coeffs)
 
     info = n_conv if converged else -n_conv
     meta = SolverMetadata(
@@ -148,9 +148,9 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
         residuals=np.concatenate(res_history) if res_history else np.zeros(0),
     )
     return (
-        jnp.asarray(evals[:nev_out].real.astype(rdt)),
+        evals[:nev_out].real.astype(rdt),
         ritz_vecs,
-        jnp.asarray(res[:nev_out].astype(rdt)),
+        res[:nev_out].astype(rdt),
         info,
         meta,
     )

@@ -164,17 +164,20 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     # splits complex coefficients over a real basis into two real MXU
     # matmuls + lax.complex, the TPU-efficient reconstruction.
     X_lead = jax.tree.map(lambda l: l[:kdim], X)
-    ritz_vecs = _reconstruct(X_lead, jnp.asarray(coeffs))
+    ritz_vecs = _reconstruct(X_lead, coeffs)
 
     info = n_conv if converged else -n_conv
     meta = SolverMetadata(
         converged=converged, n_iter=niter, n_inner=niter, info=info,
         residuals=np.concatenate(res_history) if res_history else np.zeros(0),
     )
+    # eigenvalues/residuals are host-computed scalars: return them as numpy
+    # (avoids a pointless H2D round-trip, and complex D2H is unimplemented
+    # on the axon PJRT plugin).
     return (
-        jnp.asarray(evals[:nev_out].astype(cdt)),
+        evals[:nev_out].astype(cdt),
         ritz_vecs,
-        jnp.asarray(res[:nev_out].astype(rdt)),
+        res[:nev_out].astype(rdt),
         info,
         meta,
     )

@@ -29,7 +29,7 @@ import numpy as np
 
 from .. import constants, vectors
 from ..krylov.gram_schmidt import double_gram_schmidt_step
-from ..linops import IdentityOperator, aslinop
+from ..linops import IdentityOperator, Preconditioner, aslinop
 from ..utils import linalg
 from ..utils.options import GMRESOptions, SolverMetadata
 
@@ -53,7 +53,13 @@ def _gmres_impl(A, b, x0, M, tol, kdim, maxiter, transpose, flexible, sanity_che
     def inner_body(carry):
         V, Z, R, c, s, e, k, res, hist, nin = carry
         vk = vectors.get_column(V, k)
-        z = M.matvec(vk)  # right preconditioner (gmres.fypp:155)
+        # right preconditioner (gmres.fypp:155); iteration-aware interface
+        # per the reference's abstract_precond (IterativeSolvers.fypp:80-95)
+        if isinstance(M, Preconditioner):
+            z = M.apply(vk, iteration=k, current_residual=res,
+                        target_residual=tol)
+        else:
+            z = M.matvec(vk)
         if flexible:
             Z = vectors.set_column(Z, k, z)
         w = matvec(z)

@@ -90,8 +90,8 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
     cu[:k_final, :] = umat[:, :nsv_out]
     cv = np.zeros((kdim, nsv_out), dtype=np.dtype(dt))
     cv[:k_final, :] = vmat[:, :nsv_out]
-    Usv = _reconstruct(U, jnp.asarray(cu))
-    Vsv = _reconstruct(V, jnp.asarray(cv))
+    Usv = _reconstruct(U, cu)
+    Vsv = _reconstruct(V, cv)
 
     info = n_conv if converged else -n_conv
     meta = SolverMetadata(
@@ -100,9 +100,9 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
     )
     return (
         Usv,
-        jnp.asarray(svals[:nsv_out].astype(rdt)),
+        svals[:nsv_out].astype(rdt),
         Vsv,
-        jnp.asarray(res[:nsv_out].astype(rdt)),
+        res[:nsv_out].astype(rdt),
         info,
         meta,
     )

@@ -214,3 +214,17 @@ def solve_triangular(R, b, lower: bool = False):
     """Triangular solve for the GMRES least-squares back-substitution
     (reference: ``trtrs`` call, gmres.fypp:200)."""
     return jax.scipy.linalg.solve_triangular(R, b, lower=lower)
+
+
+def assert_shape(A, shape, name: str = "array") -> None:
+    """Shape guard (reference: ``assert_shape``, Utils.fypp:85-116)."""
+    if tuple(A.shape) != tuple(shape):
+        from .logger import stop_error
+
+        stop_error(f"{name} has shape {tuple(A.shape)}, expected {tuple(shape)}",
+                   "utils", "assert_shape")
+
+
+def log2(x):
+    """Base-2 logarithm (reference: ``log2``, Utils.fypp:37-60)."""
+    return jnp.log(x) / jnp.log(2.0)

@@ -209,3 +209,24 @@ def test_eighs_thick_restart(dtype_dp):
     assert err < 1e-9
     G = np.asarray(vectors.gram(evecs))
     assert np.allclose(G, np.eye(6), atol=1e-8)
+
+
+def test_eigs_restart_complex_operator():
+    """Krylov-Schur restart on a complex normal operator with geometric
+    spectrum (complex Schur path of the restart, cdp flavor)."""
+    rng = np.random.default_rng(21)
+    r = 2.0 * 0.7 ** np.arange(N)
+    theta = rng.uniform(0, 2 * np.pi, N)
+    d = r * np.exp(1j * theta)
+    Qm, _ = np.linalg.qr(rng.standard_normal((N, N))
+                         + 1j * rng.standard_normal((N, N)))
+    A = (Qm * d) @ Qm.conj().T
+    op = lk.DenseOperator(jnp.asarray(A))
+    x0 = vectors.rand_like(jax.random.PRNGKey(13), jnp.zeros(N, np.complex128))
+    evals, evecs, res, info, meta = lk.eigs(
+        op, 4, x0=x0, kdim=12, tolerance=1e-9,
+        options=lk.EigsOptions(maxiter=60))
+    assert meta.converged
+    exact = d[np.argsort(-np.abs(d))]
+    for lam in np.asarray(evals):
+        assert np.min(np.abs(exact - lam) / np.abs(lam)) < 1e-8

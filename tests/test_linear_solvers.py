@@ -164,3 +164,35 @@ def test_gmres_convdiff_single_precision():
     assert meta.converged
     res = float(lk.norm(lk.sub(op.matvec(x), b))) / float(lk.norm(b))
     assert res < 10 * lk.rtol(np.float32)
+
+
+def test_iteration_aware_preconditioner(rng):
+    """Preconditioner.apply receives (iteration, residuals)
+    (reference: abstract_precond, IterativeSolvers.fypp:80-95)."""
+    import jax
+
+    dtype = np.float64
+    D = np.diag(np.linspace(1, 100, N)).astype(dtype)
+    A = D + 0.1 * _rand(dtype, rng, (N, N))
+    b = _rand(dtype, rng, (N,))
+
+    class JacobiWithInfo(lk.Preconditioner):
+        _children = ("dinv",)
+        _static = ()
+
+        def __init__(self, dinv):
+            self.dinv = dinv
+
+        def apply(self, v, iteration=0, current_residual=0.0,
+                  target_residual=0.0):
+            # damp the preconditioner early in the cycle (exercises the
+            # traced iteration argument inside the jitted solver)
+            damp = jnp.where(iteration < 2, 0.5, 1.0)
+            return damp * self.dinv * v
+
+    M = JacobiWithInfo(jnp.asarray(1.0 / np.diag(D)))
+    x, info, meta = lk.gmres(jnp.asarray(A), jnp.asarray(b), preconditioner=M,
+                             options=lk.GMRESOptions(kdim=30, maxiter=20))
+    assert meta.converged
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)

@@ -132,7 +132,7 @@ def test_givens_rotation_annihilates(dtype):
     a = jnp.asarray(np.array(a, dtype=dtype))
     b = jnp.asarray(np.array(b, dtype=dtype))
     c, s = linalg.givens_rotation(a, b)
-    lo = -jnp.conj(s) * a + c * b if False else (-s * a + c * b)
+    lo = -s * a + c * b
     assert abs(complex(lo)) < 1e-6
     # rotation preserves the norm
     r = c * a + jnp.conj(s) * b
