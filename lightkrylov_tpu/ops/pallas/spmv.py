@@ -105,18 +105,22 @@ def bell_from_scipy(A, bm: int = 8, bn: int = 128, dtype=np.float32) -> BellMatr
     return mat
 
 
-def _spmv_kernel(cols_ref, data_ref, x_ref, y_ref, *, K, bm, bn):
+def _spmv_kernel(cols_ref, data_ref, x_ref, y_ref, *, K, bm, bn, R):
     import jax.experimental.pallas as pl
 
+    # Each grid step handles R block-rows so the output block is
+    # (R, bm) = (8, 8)-aligned (TPU tiling requires the trailing block dims
+    # to be multiples of (8, 128) or span the full axis).
     i = pl.program_id(0)
-    acc = jnp.zeros((bm, 1), data_ref.dtype)
-    for k in range(K):  # static unrolled block loop
-        c = cols_ref[i, k]
-        start = pl.multiple_of(c * bn, bn)
-        xk = x_ref[pl.ds(start, bn)].reshape(bn, 1)
-        blk = data_ref[0, k]
-        acc = acc + jnp.dot(blk, xk, preferred_element_type=acc.dtype)
-    y_ref[0, :] = acc[:, 0]
+    for r in range(R):  # static
+        acc = jnp.zeros((bm, 1), data_ref.dtype)
+        for k in range(K):  # static unrolled block loop
+            c = cols_ref[i * R + r, k]
+            start = pl.multiple_of(c * bn, bn)
+            xk = x_ref[pl.ds(start, bn)].reshape(bn, 1)
+            blk = data_ref[r, k]
+            acc = acc + jnp.dot(blk, xk, preferred_element_type=acc.dtype)
+        y_ref[r, :] = acc[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -127,16 +131,26 @@ def bell_spmv(data, cols, x_padded, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     nbr, K, bm, bn = data.shape
+    R = 8  # block-rows per grid step (output tile alignment)
+    if nbr % R:  # pad block-rows; padding blocks point at col 0 with zeros
+        pad = R - nbr % R
+        data = jnp.concatenate(
+            [data, jnp.zeros((pad,) + data.shape[1:], data.dtype)], axis=0)
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((pad, K), cols.dtype)], axis=0)
+        nbr += pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nbr,),
+        grid=(nbr // R,),
         in_specs=[
-            pl.BlockSpec((1, K, bm, bn), lambda i, cols: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, K, bm, bn), lambda i, cols: (i, 0, 0, 0)),
+            # x resident in VMEM: one copy reused by every block-row
+            # (direct dynamic slicing; ANY/HBM refs would need manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bm), lambda i, cols: (i, 0)),
+        out_specs=pl.BlockSpec((R, bm), lambda i, cols: (i, 0)),
     )
-    kernel = functools.partial(_spmv_kernel, K=K, bm=bm, bn=bn)
+    kernel = functools.partial(_spmv_kernel, K=K, bm=bm, bn=bn, R=R)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
