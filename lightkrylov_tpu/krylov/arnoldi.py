@@ -124,11 +124,9 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
 
     for b in range(k0, k1):
         cols = list(range(b * p, (b + 1) * p))
-        # matvec the current block
-        blk = vectors.stack([
-            (A.rmatvec if transpose else A.matvec)(vectors.get_column(X, c))
-            for c in cols
-        ])
+        # matvec the whole block at once (one batched kernel / MXU GEMM)
+        blk_in = jax.tree.map(lambda l: l[cols[0]:cols[-1] + 1], X)
+        blk = A.rmatvec_basis(blk_in) if transpose else A.matvec_basis(blk_in)
         # CGS2 against every previous column
         blk, proj = double_gram_schmidt_step(blk, X)
         H = jax.lax.dynamic_update_slice(

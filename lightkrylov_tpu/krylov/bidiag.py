@@ -63,14 +63,19 @@ def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None)
         V = vectors.set_column(V, k, v)
         B = B.at[k, k].set(jnp.where(ok_a, alpha.astype(dt), jnp.zeros((), dt)))
 
-        # u_{k+1} = A v_k, re-orthogonalized against U[:, :k+1]
+        # u_{k+1} = A v_k, re-orthogonalized against U[:, :k+1].  The *full*
+        # CGS2 coefficient column is stored (Arnoldi-style): in exact
+        # arithmetic it is alpha e_k, but after a thick restart the
+        # factorization carries couplings to the compressed columns, and
+        # storing the complete projections keeps ``A V = U B`` exact.
         u = A.matvec(v)
-        u, _ = double_gram_schmidt_step(u, U)
+        u, proj_u = double_gram_schmidt_step(u, U)
         beta = vectors.norm(u)
         ok_b = ok_a & (beta > tol)
         invb = jnp.where(ok_b, 1.0 / jnp.where(beta == 0, 1.0, beta), 0.0)
         u = vectors.scal(invb.astype(rdt), u)
         U = vectors.set_column(U, k + 1, u)
+        B = B.at[:, k].set(proj_u.astype(dt))
         B = B.at[k + 1, k].set(jnp.where(ok_b, beta.astype(dt), jnp.zeros((), dt)))
 
         broke = jnp.logical_not(ok_a & ok_b)

@@ -100,6 +100,22 @@ class LinearOperator:
     def __call__(self, x):
         return self.matvec(x)
 
+    def matvec_basis(self, X):
+        """Apply the operator to every column of a stacked basis at once.
+
+        Default: ``jax.vmap`` over :meth:`matvec` — XLA batches the p
+        matvecs into one kernel (for dense operators this becomes a single
+        MXU GEMM instead of p GEMVs).  Subclasses with a cheaper batched
+        form may override.  Used by the block Krylov methods
+        (reference: the per-column matvec loop of block Arnoldi,
+        arnoldi.fypp:34-73, which the abstract Fortran design cannot batch).
+        """
+        return jax.vmap(self.matvec)(X)
+
+    def rmatvec_basis(self, Y):
+        """Batched adjoint application (see :meth:`matvec_basis`)."""
+        return jax.vmap(self.rmatvec)(Y)
+
     # -- operator algebra (reference: AbstractLinops.fypp:89-197) ------------
 
     @property

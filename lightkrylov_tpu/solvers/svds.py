@@ -1,14 +1,21 @@
-"""Singular value decomposition via Golub-Kahan bidiagonalization.
+"""Singular value decomposition via Golub-Kahan bidiagonalization, with
+thick restart.
 
 TPU-native counterpart of ``svds``
 (reference: src/IterativeSolvers/SVDS/svd_solvers.fypp): incremental
 bidiagonalization plus dense SVD of the projected bidiagonal each check
-(svd_solvers.fypp:80-102), residual ``|B[k+1, k] * v_last|`` (:93), no
-restart (IterativeSolvers.fypp:655-658), and reconstruction
-``U = Uwrk @ umat``, ``V = Vwrk @ vmat`` (:108-119).
+(svd_solvers.fypp:80-102), residual ``|B[k+1, k] * v_last|`` (:93), and
+reconstruction ``U = Uwrk @ umat``, ``V = Vwrk @ vmat`` (:108-119).
+
+The reference has **no restart** (IterativeSolvers.fypp:655-658); here we
+add Baglama-Reichel-style thick restart: compress onto the ``n`` best
+singular triplets, ``B`` becomes diag(s) with the residual coupling row
+``beta * q_last`` at row ``n``, and bidiagonalization continues — the
+generalized (non-bidiagonal) projected matrix is handled exactly because
+:mod:`krylov.bidiag` stores the full CGS2 projection columns.
 
 Supports rectangular implicit operators (``U`` in the codomain, ``V`` in
-the domain).  The dense k x k SVD runs on-device.
+the domain).
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ from .. import constants, vectors
 from ..krylov.bidiag import bidiagonalization, initialize_bidiag
 from ..linops import aslinop
 from .eigs import _reconstruct
-from ..utils.logger import log_warning
+from ..utils.logger import log_information, log_warning
 from ..utils.options import SVDSOptions, SolverMetadata
 
 __all__ = ["svds"]
@@ -32,7 +39,8 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
          key=None, check_every: int | None = None):
     """Leading singular triplets -> ``(U, S, V, residuals, info, metadata)``
     with ``U``/``V`` stacked bases of ``nsv`` left/right singular vectors and
-    ``S`` descending (reference: ``svds``, svd_solvers.fypp:28-119)."""
+    ``S`` descending (reference: ``svds``, svd_solvers.fypp:28-119; restart
+    cycles bounded by ``options.maxiter``)."""
     A = aslinop(A)
     opts = options or SVDSOptions()
     if kdim is None:
@@ -54,36 +62,67 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
     U, V, B = initialize_bidiag(seed, v_template, kdim)
 
     niter = 0
-    k = 1
+    kstart = 1
     res_history = []
     invariant = False
-    while k <= kdim:
-        kend = min(kdim, k + stride - 1)
-        U, V, B, binfo = bidiagonalization(A, U, V, B, kstart=k, kend=kend)
-        binfo = int(binfo)
-        k_eff = binfo if binfo > 0 else kend
-        niter += k_eff - (k - 1)
+    n_conv = 0
+    for cycle in range(opts.maxiter):
+        k = kstart
+        while k <= kdim:
+            kend = min(kdim, k + stride - 1)
+            U, V, B, binfo = bidiagonalization(A, U, V, B, kstart=k, kend=kend)
+            binfo = int(binfo)
+            k_eff = binfo if binfo > 0 else kend
+            niter += k_eff - (k - 1)
 
-        Bh = np.asarray(jax.device_get(B))
-        Bk = Bh[:k_eff, :k_eff]
-        um, s, vmh = np.linalg.svd(Bk)
-        vm = vmh.conj().T
-        beta = abs(Bh[k_eff, k_eff - 1])
-        r = beta * np.abs(vm[-1, :])  # (:93)
-        if binfo > 0:
-            r = np.zeros_like(r)
-            invariant = True
-        n_conv = int(np.sum(r < tol))
-        res_history.append(r[: min(nsv, len(r))].copy())
-        svals, umat, vmat, res, k_final = s, um, vm, r, k_eff
+            Bh = np.asarray(jax.device_get(B))
+            Bk = Bh[:k_eff, :k_eff]
+            um, s, vmh = np.linalg.svd(Bk)
+            vm = vmh.conj().T
+            beta = abs(Bh[k_eff, k_eff - 1])
+            r = beta * np.abs(vm[-1, :])  # (:93)
+            if binfo > 0:
+                r = np.zeros_like(r)
+                invariant = True
+            n_conv = int(np.sum(r[:nsv] < tol))
+            res_history.append(r[: min(nsv, len(r))].copy())
+            svals, umat, vmat, res, k_final = s, um, vm, r, k_eff
+            if n_conv >= nsv or invariant:
+                break
+            k = kend + 1
         if n_conv >= nsv or invariant:
             break
-        k = kend + 1
+        if cycle < opts.maxiter - 1 and k_final == kdim:
+            # Thick restart onto the n best triplets (Baglama-Reichel).
+            n = min(max(nsv + (kdim - nsv) // 2, nsv + 1), kdim - 1)
+            beta = np.asarray(jax.device_get(B[kdim, kdim - 1]))
+            Pk = np.zeros((kdim, kdim), dtype=np.dtype(dt))
+            Pk[:, :n] = umat[:, :n]
+            Qk = np.zeros((kdim, kdim), dtype=np.dtype(dt))
+            Qk[:, :n] = vmat[:, :n]
+            U_lead = jax.tree.map(lambda l: l[:kdim], U)
+            Uc = _reconstruct(U_lead, Pk)
+            Vc = _reconstruct(V, Qk)
+            u_res = vectors.get_column(U, kdim)
+            U = jax.tree.map(
+                lambda c, full: jnp.concatenate(
+                    [c, jnp.zeros_like(full[:1])], axis=0),
+                Uc, U)
+            U = vectors.set_column(U, n, u_res)
+            V = Vc
+            B_new = np.zeros(B.shape, dtype=np.dtype(dt))
+            B_new[np.arange(n), np.arange(n)] = svals[:n]
+            B_new[n, :n] = beta * vmat[kdim - 1, :n]
+            B = jnp.asarray(B_new)
+            kstart = n + 1
+            log_information(
+                f"svds: thick restart cycle {cycle + 1}, kept n={n}, "
+                f"{n_conv}/{nsv} converged", "solvers", "svds")
 
     converged = n_conv >= nsv or invariant
     if not converged:
-        log_warning(f"svds: only {n_conv}/{nsv} triplets converged (no restart — "
-                    "increase kdim)", "solvers", "svds")
+        log_warning(f"svds: only {n_conv}/{nsv} triplets converged "
+                    f"after {opts.maxiter} cycles", "solvers", "svds")
 
     nsv_out = min(nsv, len(svals))
     cu = np.zeros((kdim + 1, nsv_out), dtype=np.dtype(dt))

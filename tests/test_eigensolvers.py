@@ -230,3 +230,31 @@ def test_eigs_restart_complex_operator():
     exact = d[np.argsort(-np.abs(d))]
     for lam in np.asarray(evals):
         assert np.min(np.abs(exact - lam) / np.abs(lam)) < 1e-8
+
+
+def test_svds_thick_restart(dtype_dp):
+    """Thick-restart Golub-Kahan converges with small kdim (capability
+    beyond the reference, IterativeSolvers.fypp:655-658)."""
+    dtype = dtype_dp
+    rng = np.random.default_rng(31)
+    m, n = N, N // 2
+    # geometric singular spectrum: restart-friendly
+    sv = 3.0 * 0.8 ** np.arange(n)
+    Um, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    Vm, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (Um * sv) @ Vm.T
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        Qp = np.exp(1j * rng.uniform(0, 2 * np.pi, n))
+        A = A.astype(complex) * Qp[None, :]
+    A = A.astype(dtype)
+    u0 = vectors.rand_like(jax.random.PRNGKey(6), jnp.zeros(m, dtype))
+    U, S, V, res, info, meta = lk.svds(
+        lk.DenseOperator(jnp.asarray(A)), 4, u0=u0,
+        v_template=jnp.zeros(n, dtype), kdim=12, tolerance=1e-9,
+        options=lk.SVDSOptions(maxiter=40))
+    assert meta.converged
+    assert np.allclose(np.asarray(S), sv[:4], rtol=1e-8)
+    for i in range(4):
+        u = np.asarray(vectors.get_column(U, i))
+        v = np.asarray(vectors.get_column(V, i))
+        assert np.linalg.norm(A @ v - float(S[i]) * u) < 1e-7
