@@ -10,33 +10,39 @@ streaming bandwidth divided by the bytes moved per nonzero
 (read u + write y = 8 B per point / 5 nnz per point = 1.6 B/nnz).
 ``vs_baseline`` = achieved / (0.8 * roofline): >= 1.0 beats the target.
 
-Runs the Pallas kernel on the TPU when available (falling back to the XLA
-stencil, then to CPU, so the driver always gets a line).
+Methodology: all timing uses K matvecs chained inside ONE jitted
+``fori_loop`` — per-dispatch overhead through the axon relay is ~30 ms,
+which would otherwise swamp sub-millisecond kernels.  Tries the Pallas
+kernel, falls back to the XLA stencil, then CPU, so the driver always gets
+a line.
 """
 
 import json
 import sys
 import time
 
-import numpy as np
 
-
-def best_time(fn, iters=20, warmup=3):
+def timed_loop(make_step, x, iters=30):
+    """Best per-iteration time of a jitted chained loop."""
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    times = []
-    for _ in range(iters):
+    @jax.jit
+    def loop(v):
+        return jax.lax.fori_loop(0, iters, lambda i, w: make_step(w), v)
+
+    jax.block_until_ready(loop(x))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    return min(times)
+        jax.block_until_ready(loop(x))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     sys.path.insert(0, "/root/repo")
     from lightkrylov_tpu.models import Poisson2D
@@ -45,7 +51,8 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
-    # Grid: ~10M DoF on TPU (BASELINE config 5 scale), smaller on CPU.
+    # ~10M DoF on TPU (BASELINE config 5 scale; > VMEM so genuinely
+    # HBM-bound), smaller on CPU.
     n = 3072 if on_tpu else 512
     ny = nx = n
     nnz = 5 * ny * nx - 2 * (nx + ny)  # true stencil nonzeros
@@ -55,26 +62,22 @@ def main():
     jax.block_until_ready(u)
     _ = jax.device_get(u[:1, :8])  # D2H warmup (first transfer is slow on axon)
 
-    # Measured streaming bandwidth: y = x + 1 reads+writes 2 * size bytes.
+    # Measured streaming bandwidth (chained in-jit adds): 2*size bytes/iter.
     big = jnp.zeros((4096, 4096), jnp.float32)
-    stream = jax.jit(lambda a: a + 1.0)
-    t_stream = best_time(lambda: stream(big), iters=10)
+    t_stream = timed_loop(lambda a: a + 1.0, big, iters=30)
     bw = 2 * big.size * 4 / t_stream  # bytes/s
 
-    # Stencil matvec: Pallas kernel on TPU, XLA fallback elsewhere/on error.
     used = "pallas"
     try:
         op = PallasPoisson2D(nx, ny, dtype=jnp.float32, tile=256,
                              interpret=not on_tpu)
         if not on_tpu:
             raise RuntimeError("interpret mode too slow for timing")
-        mv = jax.jit(op.matvec)
-        t = best_time(lambda: mv(u))
+        t = timed_loop(op.matvec, u, iters=30)
     except Exception:
         used = "xla"
         op = Poisson2D(nx, ny, dtype=jnp.float32)
-        mv = jax.jit(op.matvec)
-        t = best_time(lambda: mv(u))
+        t = timed_loop(op.matvec, u, iters=30)
 
     nnz_per_s = nnz / t
     bytes_per_nnz = 8.0 / 5.0  # read u + write y per point, 5 nnz per point

@@ -29,7 +29,8 @@ import numpy as np
 
 from ..linops import LinearOperator
 
-__all__ = ["GinzburgLandau", "GLPropagator", "gl_analytic_eigvals"]
+__all__ = ["GinzburgLandau", "GLPropagator", "gl_analytic_eigvals",
+           "NU", "GAMMA", "MU0", "C_MU", "MU2"]
 
 NU = 2.0 + 0.2j
 GAMMA = 1.0 - 1.0j

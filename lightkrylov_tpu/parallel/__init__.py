@@ -12,7 +12,7 @@ from .mesh import (
     Mesh,
     NamedSharding,
 )
-from .stencil import ShardedPoisson2D
+from .stencil import ShardedPoisson2D, ShardedGinzburgLandau
 
 __all__ = [
     "comm_setup",
@@ -24,4 +24,5 @@ __all__ = [
     "Mesh",
     "NamedSharding",
     "ShardedPoisson2D",
+    "ShardedGinzburgLandau",
 ]

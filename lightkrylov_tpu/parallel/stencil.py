@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..linops import LinearOperator
 from .mesh import distribute
 
-__all__ = ["ShardedPoisson2D"]
+__all__ = ["ShardedPoisson2D", "ShardedGinzburgLandau"]
 
 
 def _stencil_shard(u, *, ihx2, ihy2, axis):
@@ -115,3 +115,78 @@ class ShardedPoisson2D(LinearOperator):
 
     def rmatvec(self, u):
         return self.matvec(u)
+
+
+def _gl_shard(u, mu_local, *, dx, nu, gamma, adjoint, axis):
+    """Per-shard linearized CGL RHS with single-point halo exchange
+    (runs inside shard_map; ``u`` is the local 1D chunk)."""
+    n = jax.lax.axis_size(axis)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    left_halo = jax.lax.ppermute(u[-1:], axis, fwd)   # u_{i-1} for local 0
+    right_halo = jax.lax.ppermute(u[:1], axis, bwd)   # u_{i+1} for local -1
+
+    um = jnp.concatenate([left_halo, u[:-1]])
+    up = jnp.concatenate([u[1:], right_halo])
+    ux = (up - um) / (2.0 * dx)
+    uxx = (up - 2.0 * u + um) / dx**2
+    nu_ = jnp.conj(nu) if adjoint else -nu
+    gamma_ = jnp.conj(gamma) if adjoint else gamma
+    return nu_ * ux + gamma_ * uxx + mu_local * u
+
+
+class ShardedGinzburgLandau(LinearOperator):
+    """Linearized complex Ginzburg-Landau operator, 1D-partitioned over the
+    mesh with single-point ppermute halo exchange — the multi-host variant
+    of :class:`lightkrylov_tpu.models.GinzburgLandau` (same physics/FD:
+    Ginzburg_Landau.f90:24-33,127-181)."""
+
+    _children = ("mu",)
+    _static = ("nx", "L", "dtype_", "mesh", "axis")
+
+    def __init__(self, nx: int, L: float = 200.0, *, mesh: Mesh,
+                 dtype=jnp.complex64):
+        from ..models.ginzburg_landau import C_MU, MU0, MU2
+
+        self.nx = nx
+        self.L = float(L)
+        self.dtype_ = np.dtype(dtype)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        if nx % mesh.devices.size != 0:
+            raise ValueError(
+                f"nx={nx} must be divisible by mesh size {mesh.devices.size}")
+        x = np.linspace(-L / 2, L / 2, nx + 2)[1:-1]
+        mu = (MU0 - C_MU**2) + (MU2 / 2.0) * x**2
+        self.mu = distribute(jnp.asarray(mu, self.dtype_), mesh, P(self.axis))
+
+    @property
+    def dx(self):
+        return self.L / (self.nx + 1)
+
+    def template(self):
+        u = jnp.zeros((self.nx,), self.dtype_)
+        return distribute(u, self.mesh, P(self.axis))
+
+    def _apply(self, u, adjoint):
+        from ..models.ginzburg_landau import GAMMA, NU
+
+        body = partial(
+            _gl_shard, dx=self.dx,
+            nu=jnp.asarray(NU, self.dtype_),
+            gamma=jnp.asarray(GAMMA, self.dtype_),
+            adjoint=adjoint, axis=self.axis,
+        )
+        mv = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis)),
+            out_specs=P(self.axis),
+        )
+        return mv(u, self.mu)
+
+    def matvec(self, u):
+        return self._apply(u, False)
+
+    def rmatvec(self, u):
+        return self._apply(u, True)

@@ -147,3 +147,22 @@ def test_zeros_basis_propagates_sharding(mesh):
                     P(mesh.axis_names[0], None))
     Xb, H = initialize_arnoldi(x0, 6)
     assert Xb.sharding.spec[1] == mesh.axis_names[0]
+
+
+def test_sharded_gl_matches_serial(mesh):
+    """1D-partitioned complex GL operator == serial operator."""
+    from lightkrylov_tpu.models import GinzburgLandau
+    from lightkrylov_tpu.parallel import ShardedGinzburgLandau
+
+    nx = 256
+    ser = GinzburgLandau(nx=nx, dtype=jnp.complex128)
+    shd = ShardedGinzburgLandau(nx, mesh=mesh, dtype=jnp.complex128)
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(nx) + 1j * rng.standard_normal(nx)
+    ud = distribute(jnp.asarray(u), mesh, P(mesh.axis_names[0]))
+    a = np.asarray(ser.matvec(jnp.asarray(u)))
+    b = np.asarray(jax.jit(shd.matvec)(ud))
+    assert np.allclose(a, b, atol=1e-12)
+    a2 = np.asarray(ser.rmatvec(jnp.asarray(u)))
+    b2 = np.asarray(jax.jit(shd.rmatvec)(ud))
+    assert np.allclose(a2, b2, atol=1e-12)
