@@ -110,12 +110,13 @@ def _spmv_kernel(cols_ref, data_ref, x_ref, y_ref, *, K, bm, bn, R):
 
     # Each grid step handles R block-rows so the output block is
     # (R, bm) = (8, 8)-aligned (TPU tiling requires the trailing block dims
-    # to be multiples of (8, 128) or span the full axis).
-    i = pl.program_id(0)
+    # to be multiples of (8, 128) or span the full axis).  ``cols`` arrives
+    # as a per-step (R, K) SMEM block — scalar-prefetching the whole cols
+    # array overflows SMEM beyond a few thousand block-rows.
     for r in range(R):  # static
         acc = jnp.zeros((bm, 1), data_ref.dtype)
         for k in range(K):  # static unrolled block loop
-            c = cols_ref[i * R + r, k]
+            c = cols_ref[r, k]
             start = pl.multiple_of(c * bn, bn)
             xk = x_ref[pl.ds(start, bn)].reshape(bn, 1)
             blk = data_ref[r, k]
@@ -139,21 +140,19 @@ def bell_spmv(data, cols, x_padded, interpret: bool = False):
         cols = jnp.concatenate(
             [cols, jnp.zeros((pad, K), cols.dtype)], axis=0)
         nbr += pad
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    kernel = functools.partial(_spmv_kernel, K=K, bm=bm, bn=bn, R=R)
+    y = pl.pallas_call(
+        kernel,
         grid=(nbr // R,),
         in_specs=[
-            pl.BlockSpec((R, K, bm, bn), lambda i, cols: (i, 0, 0, 0)),
+            # per-step block-column indices in SMEM (R*K int32 = tiny)
+            pl.BlockSpec((R, K), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, K, bm, bn), lambda i: (i, 0, 0, 0)),
             # x resident in VMEM: one copy reused by every block-row
             # (direct dynamic slicing; ANY/HBM refs would need manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, bm), lambda i, cols: (i, 0)),
-    )
-    kernel = functools.partial(_spmv_kernel, K=K, bm=bm, bn=bn, R=R)
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+        out_specs=pl.BlockSpec((R, bm), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((nbr, bm), data.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -3,15 +3,19 @@
 The native-kernel tier of the operator layer (SURVEY.md §2: "[TPU-native]
 matvec = Pallas SpMV/stencil"; BASELINE north star).  The stencil is
 memory-bound: speed-of-light is one HBM read of ``u`` plus one write of the
-output (~8 bytes/point in f32).  The kernel tiles the grid into row blocks:
-each grid step DMAs its (tile + 2)-row window — one-row halos included —
-from HBM into VMEM, computes the full stencil on the VPU with *static*
-slices, and writes the tile-row result, so every input element is read once
-(plus one halo row per tile boundary).
+output (~8 bytes/point in f32); the XLA pad-based formulation materialises
+padded temporaries and moves several times more HBM traffic, which is the
+gap this kernel closes.
 
-Window layout is fixed: interior rows live at window[1 : tile+1]; halo rows
-at window[0] and window[tile+1] are zeroed at the global boundaries, which
-realises the homogeneous Dirichlet condition with no masking arithmetic.
+Tiling: each grid step owns ``tile`` rows.  The VMEM window has
+``tile + 16`` rows — an 8-row halo band on each side — so **every DMA
+source/destination offset is a multiple of 8** (the f32 sublane tile), a
+hard requirement of the Mosaic compiler (a (tile+2)-row window with
+offset-1 destinations crashes it).  Three DMAs per step (main block + two
+halo bands; boundary bands zeroed under ``pl.when``, realising the
+homogeneous Dirichlet condition); the y-neighbours are then *static*
+row-shifted slices of the window and the x-neighbours in-tile column
+shifts, all on the VPU.
 
 ``interpret=True`` runs the same kernel through the Pallas interpreter for
 bit-level parity tests on CPU.
@@ -29,6 +33,8 @@ from ...linops import LinearOperator
 
 __all__ = ["stencil_matvec", "PallasPoisson2D"]
 
+HALO = 8  # halo band rows = the f32 sublane tile; keeps every DMA aligned
+
 
 def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
     import jax.experimental.pallas as pl
@@ -37,50 +43,52 @@ def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
     i = pl.program_id(0)
     row0 = i * tile
 
-    def body(window, sem):
+    def body(w, sem):
         first = i == 0
         last = i == nprog - 1
 
-        # Halo-row zeroing at the global boundaries (Dirichlet).
-        @pl.when(first)
-        def _():
-            window[0:1, :] = jnp.zeros((1, nx), window.dtype)
+        # main block rows -> w[HALO : HALO+tile]  (all offsets 8-aligned)
+        cp = pltpu.make_async_copy(
+            u_hbm.at[pl.ds(row0, tile), :], w.at[pl.ds(HALO, tile), :], sem)
+        cp.start()
+        cp.wait()
 
-        @pl.when(last)
-        def _():
-            window[tile + 1:tile + 2, :] = jnp.zeros((1, nx), window.dtype)
-
-        # DMA the valid window rows.  ``nprog`` is static, so impossible
-        # branches (whose slices would exceed the array) are never traced.
         if nprog == 1:
-            cp = pltpu.make_async_copy(
-                u_hbm.at[pl.ds(0, tile), :], window.at[pl.ds(1, tile), :], sem)
-            cp.start(); cp.wait()
+            w[0:HALO, :] = jnp.zeros((HALO, nx), w.dtype)
+            w[tile + HALO:tile + 2 * HALO, :] = jnp.zeros((HALO, nx), w.dtype)
         else:
+            # halo band above: u[row0-8 : row0] -> w[0:8]; zero at boundary
             @pl.when(first)
             def _():
-                cp = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(0, tile + 1), :], window.at[pl.ds(1, tile + 1), :], sem)
-                cp.start(); cp.wait()
+                w[0:HALO, :] = jnp.zeros((HALO, nx), w.dtype)
 
+            @pl.when(jnp.logical_not(first))
+            def _():
+                cp2 = pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(row0 - HALO, HALO), :],
+                    w.at[pl.ds(0, HALO), :], sem)
+                cp2.start()
+                cp2.wait()
+
+            # halo band below: u[row0+tile : +8] -> w[tile+8 : tile+16]
             @pl.when(last)
             def _():
-                cp = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(row0 - 1, tile + 1), :], window.at[pl.ds(0, tile + 1), :], sem)
-                cp.start(); cp.wait()
+                w[tile + HALO:tile + 2 * HALO, :] = jnp.zeros((HALO, nx), w.dtype)
 
-            @pl.when(jnp.logical_not(first) & jnp.logical_not(last))
+            @pl.when(jnp.logical_not(last))
             def _():
-                cp = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(row0 - 1, tile + 2), :], window, sem)
-                cp.start(); cp.wait()
+                cp3 = pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(row0 + tile, HALO), :],
+                    w.at[pl.ds(tile + HALO, HALO), :], sem)
+                cp3.start()
+                cp3.wait()
 
         # Stencil with static slices (VPU shifts; no dynamic indexing).
-        u = window[1:tile + 1, :]
+        u = w[HALO:tile + HALO, :]
         left = jnp.pad(u, ((0, 0), (1, 0)))[:, :-1]
         right = jnp.pad(u, ((0, 0), (0, 1)))[:, 1:]
-        down = window[0:tile, :]          # u_{j-1}
-        up = window[2:tile + 2, :]        # u_{j+1}
+        down = w[HALO - 1:tile + HALO - 1, :]   # u_{j-1}
+        up = w[HALO + 1:tile + HALO + 1, :]     # u_{j+1}
         out_ref[:, :] = (
             (2.0 * (ihx2 + ihy2)) * u
             - ihx2 * (left + right)
@@ -89,7 +97,7 @@ def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
 
     pl.run_scoped(
         body,
-        window=pltpu.VMEM((tile + 2, nx), u_hbm.dtype),
+        w=pltpu.VMEM((tile + 2 * HALO, nx), u_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -104,10 +112,10 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
     for CPU testing.
     """
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     ny, nx = u.shape
-    tile = min(tile, ny)
+    tile = max(HALO, min(tile, ny))
+    tile -= tile % HALO  # keep every DMA offset 8-aligned
     pad = (-ny) % tile
     u_p = jnp.pad(u, ((0, pad), (0, 0))) if pad else u
     ny_p = ny + pad
@@ -118,9 +126,7 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
         kernel,
         grid=(ny_p // tile,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (tile, nx), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((tile, nx), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny_p, nx), u.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
