@@ -106,22 +106,27 @@ def bell_from_scipy(A, bm: int = 8, bn: int = 128, dtype=np.float32) -> BellMatr
 
 
 def _spmv_kernel(cols_ref, data_ref, x_ref, y_ref, *, K, bm, bn, R):
-    import jax.experimental.pallas as pl
-
     # Each grid step handles R block-rows so the output block is
     # (R, bm) = (8, 8)-aligned (TPU tiling requires the trailing block dims
     # to be multiples of (8, 128) or span the full axis).  ``cols`` arrives
     # as a per-step (R, K) SMEM block — scalar-prefetching the whole cols
     # array overflows SMEM beyond a few thousand block-rows.
+    #
+    # ``x_ref`` is (nbc, bm, bn): block-column c of x replicated across the
+    # bm sublanes.  Dynamic indexing then only touches the *untiled* leading
+    # axis (whole (8,128) tiles) — Mosaic cannot prove alignment of a
+    # sub-tile dynamic offset into a flat x (vector.load wants the 1-D
+    # offset to be a multiple of 1024).  The block product collapses to an
+    # elementwise multiply + lane reduction on the VPU, which at 2 flops/
+    # loaded byte stays far under the HBM stream of ``data`` (the roofline).
     for r in range(R):  # static
-        acc = jnp.zeros((bm, 1), data_ref.dtype)
+        acc = jnp.zeros((bm,), data_ref.dtype)
         for k in range(K):  # static unrolled block loop
             c = cols_ref[r, k]
-            start = pl.multiple_of(c * bn, bn)
-            xk = x_ref[pl.ds(start, bn)].reshape(bn, 1)
-            blk = data_ref[r, k]
-            acc = acc + jnp.dot(blk, xk, preferred_element_type=acc.dtype)
-        y_ref[r, :] = acc[:, 0]
+            xk = x_ref[c]           # (bm, bn), rows identical
+            blk = data_ref[r, k]    # (bm, bn)
+            acc = acc + jnp.sum(blk * xk, axis=1)
+        y_ref[r, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -140,6 +145,13 @@ def bell_spmv(data, cols, x_padded, interpret: bool = False):
         cols = jnp.concatenate(
             [cols, jnp.zeros((pad, K), cols.dtype)], axis=0)
         nbr += pad
+    # Replicate each bn-slice of x across bm sublanes: (nbc, bm, bn), so the
+    # kernel's dynamic block-column gather is whole-tile indexing (see
+    # _spmv_kernel).  Costs one extra bm*x-sized HBM stream, negligible next
+    # to ``data`` (K blocks per block-row).
+    nbc = x_padded.shape[0] // bn
+    x_rep = jnp.broadcast_to(
+        x_padded.reshape(nbc, 1, bn), (nbc, bm, bn))
     kernel = functools.partial(_spmv_kernel, K=K, bm=bm, bn=bn, R=R)
     y = pl.pallas_call(
         kernel,
@@ -160,7 +172,7 @@ def bell_spmv(data, cols, x_padded, interpret: bool = False):
             bytes_accessed=data.size * data.dtype.itemsize,
             transcendentals=0,
         ),
-    )(cols, data, x_padded)
+    )(cols, data, x_rep)
     return y.reshape(-1)
 
 

@@ -41,7 +41,9 @@ def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    row0 = i * tile
+    # tile % HALO == 0, so every offset below is HALO-aligned; Mosaic needs
+    # the explicit multiple_of hints to prove the tiled memref slices legal.
+    row0 = pl.multiple_of(i * tile, HALO)
 
     def body(w, sem):
         first = i == 0
@@ -65,7 +67,7 @@ def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
             @pl.when(jnp.logical_not(first))
             def _():
                 cp2 = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(row0 - HALO, HALO), :],
+                    u_hbm.at[pl.ds(pl.multiple_of(row0 - HALO, HALO), HALO), :],
                     w.at[pl.ds(0, HALO), :], sem)
                 cp2.start()
                 cp2.wait()
@@ -78,7 +80,7 @@ def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
             @pl.when(jnp.logical_not(last))
             def _():
                 cp3 = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(row0 + tile, HALO), :],
+                    u_hbm.at[pl.ds(pl.multiple_of(row0 + tile, HALO), HALO), :],
                     w.at[pl.ds(tile + HALO, HALO), :], sem)
                 cp3.start()
                 cp3.wait()
