@@ -22,21 +22,33 @@ import sys
 import time
 
 
-def timed_loop(make_step, x, iters=30):
-    """Best per-iteration time of a jitted chained loop."""
+def timed_loop(make_step, x, iters=256):
+    """Per-iteration time of a jitted chained loop, differential method.
+
+    Times loops of ``iters`` and ``2*iters`` steps and returns
+    ``(t2 - t1) / iters``: the constant per-dispatch cost (~30 ms through
+    the axon relay — larger than the kernel itself!) cancels exactly.
+    """
     import jax
 
-    @jax.jit
-    def loop(v):
-        return jax.lax.fori_loop(0, iters, lambda i, w: make_step(w), v)
+    def make(n):
+        @jax.jit
+        def loop(v):
+            return jax.lax.fori_loop(0, n, lambda i, w: make_step(w), v)
+        return loop
 
-    jax.block_until_ready(loop(x))  # compile + warm
-    best = float("inf")
+    loop1, loop2 = make(iters), make(2 * iters)
+    jax.block_until_ready(loop1(x))  # compile + warm
+    jax.block_until_ready(loop2(x))
+    t1 = t2 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(x))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        jax.block_until_ready(loop1(x))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop2(x))
+        t2 = min(t2, time.perf_counter() - t0)
+    return max(t2 - t1, 1e-9) / iters
 
 
 def main():
@@ -64,7 +76,7 @@ def main():
 
     # Measured streaming bandwidth (chained in-jit adds): 2*size bytes/iter.
     big = jnp.zeros((4096, 4096), jnp.float32)
-    t_stream = timed_loop(lambda a: a + 1.0, big, iters=30)
+    t_stream = timed_loop(lambda a: a + 1.0, big)
     bw = 2 * big.size * 4 / t_stream  # bytes/s
 
     used = "pallas"
@@ -73,11 +85,11 @@ def main():
                              interpret=not on_tpu)
         if not on_tpu:
             raise RuntimeError("interpret mode too slow for timing")
-        t = timed_loop(op.matvec, u, iters=30)
+        t = timed_loop(op.matvec, u)
     except Exception:
         used = "xla"
         op = Poisson2D(nx, ny, dtype=jnp.float32)
-        t = timed_loop(op.matvec, u, iters=30)
+        t = timed_loop(op.matvec, u)
 
     nnz_per_s = nnz / t
     bytes_per_nnz = 8.0 / 5.0  # read u + write y per point, 5 nnz per point

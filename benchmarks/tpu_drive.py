@@ -25,39 +25,56 @@ def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
-def timed_loop(make_step, x, iters=30):
+def timed_loop(make_step, x, iters=256):
+    """Differential timing: loops of ``iters`` and ``2*iters`` steps,
+    per-iteration = (t2-t1)/iters — the ~30 ms axon per-dispatch overhead
+    (which dwarfs sub-ms kernels) cancels exactly."""
     import jax
 
-    @jax.jit
-    def loop(v):
-        return jax.lax.fori_loop(0, iters, lambda i, w: make_step(w), v)
+    def make(n):
+        @jax.jit
+        def loop(v):
+            return jax.lax.fori_loop(0, n, lambda i, w: make_step(w), v)
+        return loop
 
-    jax.block_until_ready(loop(x))
-    best = float("inf")
+    loop1, loop2 = make(iters), make(2 * iters)
+    jax.block_until_ready(loop1(x))
+    jax.block_until_ready(loop2(x))
+    t1 = t2 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(x))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        jax.block_until_ready(loop1(x))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop2(x))
+        t2 = min(t2, time.perf_counter() - t0)
+    return max(t2 - t1, 1e-9) / iters
 
 
-def timed_loop_op(op, x, iters=10):
+def timed_loop_op(op, x, iters=64):
     """Like timed_loop but passes the (pytree-registered) operator as a jit
     ARGUMENT — closing over a large Bell matrix would embed its blocks as an
     HLO constant (the axon relay rejects >~0.5 GB request bodies)."""
     import jax
 
-    @jax.jit
-    def loop(op, v):
-        return jax.lax.fori_loop(0, iters, lambda i, w: op.matvec(w), v)
+    def make(n):
+        @jax.jit
+        def loop(op, v):
+            return jax.lax.fori_loop(0, n, lambda i, w: op.matvec(w), v)
+        return loop
 
-    jax.block_until_ready(loop(op, x))
-    best = float("inf")
+    loop1, loop2 = make(iters), make(2 * iters)
+    jax.block_until_ready(loop1(op, x))
+    jax.block_until_ready(loop2(op, x))
+    t1 = t2 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(op, x))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        jax.block_until_ready(loop1(op, x))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop2(op, x))
+        t2 = min(t2, time.perf_counter() - t0)
+    return max(t2 - t1, 1e-9) / iters
 
 
 def main():
@@ -112,7 +129,7 @@ def main():
 
     # ---- 3. HBM streaming bandwidth ---------------------------------------
     big = jnp.zeros((4096, 4096), jnp.float32)
-    t_stream = timed_loop(lambda a: a + 1.0, big, iters=30)
+    t_stream = timed_loop(lambda a: a + 1.0, big)
     bw = 2 * big.size * 4 / t_stream
     log(f"HBM streaming bandwidth = {bw / 1e9:.1f} GB/s")
 
@@ -122,13 +139,13 @@ def main():
         np.random.default_rng(2).standard_normal((nb, nb)).astype(np.float32))
     nnz = 5 * nb * nb - 4 * nb
     xla_op = Poisson2D(nb, dtype=jnp.float32)
-    t = timed_loop(xla_op.matvec, ub, iters=30)
+    t = timed_loop(xla_op.matvec, ub)
     log(f"XLA stencil {nb}x{nb}: {nnz / t / 1e9:.2f} Gnnz/s "
         f"({2 * nb * nb * 4 / t / 1e9:.1f} GB/s effective)")
-    for tile in (128, 256, 512, 768, 1024):
+    for tile in (64, 128, 192, 256):
         op = PallasPoisson2D(nb, dtype=jnp.float32, tile=tile)
         try:
-            t = timed_loop(op.matvec, ub, iters=30)
+            t = timed_loop(op.matvec, ub)
         except Exception as e:  # noqa: BLE001
             log(f"tile={tile}: FAILED {type(e).__name__}: {str(e)[:200]}")
             continue
@@ -147,7 +164,7 @@ def main():
                         (nbr_l * bm, nbc_l * bn), nnz=blocks_l.size)
     op_l = BellOperator(bell_l)
     xl = jnp.asarray(rng.standard_normal(nbc_l * bn).astype(np.float32))
-    t = timed_loop_op(op_l, xl, iters=10)
+    t = timed_loop_op(op_l, xl)
     gb = blocks_l.size * 4 / 1e9
     log(f"block-ELL {nbr_l}x{nbc_l} blocks w={width_l}: "
         f"{blocks_l.size / t / 1e9:.2f} Gnnz/s ({gb / t:.1f} GB/s streamed)")

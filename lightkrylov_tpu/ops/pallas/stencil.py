@@ -17,6 +17,13 @@ homogeneous Dirichlet condition); the y-neighbours are then *static*
 row-shifted slices of the window and the x-neighbours in-tile column
 shifts, all on the VPU.
 
+Pipelining: the TPU grid is sequential, so the kernel **double-buffers**
+its input window across grid steps — at step ``i`` it first launches the
+DMAs for step ``i+1`` into the other buffer, then waits only on its own
+copies and computes while the prefetch streams in.  Output blocks are
+pipelined by Pallas itself (``out_specs``), so HBM reads, VPU compute and
+HBM writes of consecutive tiles all overlap.
+
 ``interpret=True`` runs the same kernel through the Pallas interpreter for
 bit-level parity tests on CPU.
 """
@@ -36,71 +43,90 @@ __all__ = ["stencil_matvec", "PallasPoisson2D"]
 HALO = 8  # halo band rows = the f32 sublane tile; keeps every DMA aligned
 
 
-def _kernel(u_hbm, out_ref, *, tile, nx, nprog, ihx2, ihy2):
+def _kernel(u_hbm, out_ref, w, sems, *, tile, nx, nprog, ihx2, ihy2):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    # tile % HALO == 0, so every offset below is HALO-aligned; Mosaic needs
-    # the explicit multiple_of hints to prove the tiled memref slices legal.
-    row0 = pl.multiple_of(i * tile, HALO)
+    two = jnp.int32(2)  # literal 2 would promote to int64 under x64 mode
+    slot = jax.lax.rem(i, two)
 
-    def body(w, sem):
-        first = i == 0
-        last = i == nprog - 1
+    # The three DMAs for grid step j into buffer `slot`.  tile % HALO == 0,
+    # so every offset is HALO-aligned; Mosaic needs the explicit multiple_of
+    # hints to prove the tiled memref slices legal.
+    def main_copy(j, s):
+        row0 = pl.multiple_of(j * tile, HALO)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(row0, tile), :],
+            w.at[s, pl.ds(HALO, tile), :], sems.at[s, 0])
 
-        # main block rows -> w[HALO : HALO+tile]  (all offsets 8-aligned)
-        cp = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(row0, tile), :], w.at[pl.ds(HALO, tile), :], sem)
-        cp.start()
-        cp.wait()
+    def above_copy(j, s):  # u[row0-8 : row0] -> w[s, 0:8]   (only j > 0)
+        row0 = pl.multiple_of(j * tile, HALO)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(pl.multiple_of(row0 - HALO, HALO), HALO), :],
+            w.at[s, pl.ds(0, HALO), :], sems.at[s, 1])
 
-        if nprog == 1:
-            w[0:HALO, :] = jnp.zeros((HALO, nx), w.dtype)
-            w[tile + HALO:tile + 2 * HALO, :] = jnp.zeros((HALO, nx), w.dtype)
-        else:
-            # halo band above: u[row0-8 : row0] -> w[0:8]; zero at boundary
-            @pl.when(first)
-            def _():
-                w[0:HALO, :] = jnp.zeros((HALO, nx), w.dtype)
+    def below_copy(j, s):  # u[row0+tile : +8] -> w[s, tile+8:tile+16]
+        row0 = pl.multiple_of(j * tile, HALO)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(pl.multiple_of(row0 + tile, HALO), HALO), :],
+            w.at[s, pl.ds(tile + HALO, HALO), :], sems.at[s, 2])
 
-            @pl.when(jnp.logical_not(first))
-            def _():
-                cp2 = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(pl.multiple_of(row0 - HALO, HALO), HALO), :],
-                    w.at[pl.ds(0, HALO), :], sem)
-                cp2.start()
-                cp2.wait()
+    def start(j, s):
+        main_copy(j, s).start()
 
-            # halo band below: u[row0+tile : +8] -> w[tile+8 : tile+16]
-            @pl.when(last)
-            def _():
-                w[tile + HALO:tile + 2 * HALO, :] = jnp.zeros((HALO, nx), w.dtype)
+        @pl.when(j > 0)
+        def _():
+            above_copy(j, s).start()
 
-            @pl.when(jnp.logical_not(last))
-            def _():
-                cp3 = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(pl.multiple_of(row0 + tile, HALO), HALO), :],
-                    w.at[pl.ds(tile + HALO, HALO), :], sem)
-                cp3.start()
-                cp3.wait()
+        @pl.when(j < nprog - 1)
+        def _():
+            below_copy(j, s).start()
 
-        # Stencil with static slices (VPU shifts; no dynamic indexing).
-        u = w[HALO:tile + HALO, :]
-        left = jnp.pad(u, ((0, 0), (1, 0)))[:, :-1]
-        right = jnp.pad(u, ((0, 0), (0, 1)))[:, 1:]
-        down = w[HALO - 1:tile + HALO - 1, :]   # u_{j-1}
-        up = w[HALO + 1:tile + HALO + 1, :]     # u_{j+1}
-        out_ref[:, :] = (
-            (2.0 * (ihx2 + ihy2)) * u
-            - ihx2 * (left + right)
-            - ihy2 * (down + up)
-        )
+    # Step 0 has nothing in flight yet: launch its own copies.
+    @pl.when(i == 0)
+    def _():
+        start(i, slot)
 
-    pl.run_scoped(
-        body,
-        w=pltpu.VMEM((tile + 2 * HALO, nx), u_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA(()),
+    # Prefetch step i+1 into the other buffer *before* waiting, so the DMA
+    # engine streams the next tile while the VPU computes this one.
+    @pl.when(i + 1 < nprog)
+    def _():
+        start(i + 1, jax.lax.rem(i + 1, two))
+
+    main_copy(i, slot).wait()
+
+    @pl.when(i > 0)
+    def _():
+        above_copy(i, slot).wait()
+
+    @pl.when(i < nprog - 1)
+    def _():
+        below_copy(i, slot).wait()
+
+    # Boundary halo bands were never DMA'd: zero them (homogeneous
+    # Dirichlet).  The buffer slots of the first/last steps are static.
+    @pl.when(i == 0)
+    def _():
+        w[0, 0:HALO, :] = jnp.zeros((HALO, nx), w.dtype)
+
+    last_slot = (nprog - 1) % 2
+
+    @pl.when(i == nprog - 1)
+    def _():
+        w[last_slot, tile + HALO:tile + 2 * HALO, :] = (
+            jnp.zeros((HALO, nx), w.dtype))
+
+    # Stencil with static slices (VPU shifts; no dynamic indexing).
+    u = w[slot, HALO:tile + HALO, :]
+    left = jnp.pad(u, ((0, 0), (1, 0)))[:, :-1]
+    right = jnp.pad(u, ((0, 0), (0, 1)))[:, 1:]
+    down = w[slot, HALO - 1:tile + HALO - 1, :]   # u_{j-1}
+    up = w[slot, HALO + 1:tile + HALO + 1, :]     # u_{j+1}
+    out_ref[:, :] = (
+        (2.0 * (ihx2 + ihy2)) * u
+        - ihx2 * (left + right)
+        - ihy2 * (down + up)
     )
 
 
@@ -114,9 +140,15 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
     for CPU testing.
     """
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     ny, nx = u.shape
-    tile = max(HALO, min(tile, ny))
+    # VMEM budget: 2 double-buffered input windows of (tile+16, nx) plus
+    # Pallas' own double-buffered (tile, nx) output blocks must fit in
+    # ~14 MiB of the 16 MiB VMEM: (4*tile + 32) * nx * itemsize <= budget.
+    budget = 14 * 2**20
+    tmax = (budget // (np.dtype(u.dtype).itemsize * nx) - 4 * HALO) // 4
+    tile = max(HALO, min(tile, ny, tmax))
     tile -= tile % HALO  # keep every DMA offset 8-aligned
     pad = (-ny) % tile
     u_p = jnp.pad(u, ((0, pad), (0, 0))) if pad else u
@@ -130,6 +162,10 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, nx), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((ny_p, nx), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + 2 * HALO, nx), u.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=6 * ny_p * nx,
