@@ -92,6 +92,10 @@ def arnoldi(A, X, H, kstart=1, kend=None, transpose: bool = False, tol: float | 
         X, H, k, info = carry
         X, H, beta = arnoldi_step(A, X, H, k, transpose=transpose, tol=tol)
         info = jnp.where(beta <= tol, k + 1, info).astype(jnp.int32)
+        # NaN beta: corrupt data, fatal negative info — `beta <= tol` is
+        # False for NaN so it would otherwise propagate silently
+        # (reference: qr.fypp:72-78 NaN sanitization)
+        info = jnp.where(jnp.isnan(jnp.real(beta)), -(k + 1), info).astype(jnp.int32)
         return X, H, k + 1, info
 
     X, H, _, info = jax.lax.while_loop(

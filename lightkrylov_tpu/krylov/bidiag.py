@@ -80,6 +80,9 @@ def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None)
 
         broke = jnp.logical_not(ok_a & ok_b)
         info = jnp.where(broke & (info == 0), k + 1, info).astype(jnp.int32)
+        # NaN alpha/beta: fatal negative info (reference: qr.fypp:72-78)
+        nan = jnp.isnan(jnp.real(alpha)) | jnp.isnan(jnp.real(beta))
+        info = jnp.where(nan, -(k + 1), info).astype(jnp.int32)
         return U, V, B, k + 1, info
 
     U, V, B, _, info = jax.lax.while_loop(

@@ -71,6 +71,8 @@ def lanczos(A, X, T, kstart=1, kend=None, tol: float | None = None):
         X, T, k, info = carry
         X, T, beta = lanczos_step(A, X, T, k, tol=tol)
         info = jnp.where(beta <= tol, k + 1, info).astype(jnp.int32)
+        # NaN beta: fatal negative info (reference: qr.fypp:72-78)
+        info = jnp.where(jnp.isnan(jnp.real(beta)), -(k + 1), info).astype(jnp.int32)
         return X, T, k + 1, info
 
     X, T, _, info = jax.lax.while_loop(

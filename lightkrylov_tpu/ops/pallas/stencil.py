@@ -38,9 +38,39 @@ import numpy as np
 
 from ...linops import LinearOperator
 
-__all__ = ["stencil_matvec", "PallasPoisson2D"]
+__all__ = ["stencil_matvec", "PallasPoisson2D", "effective_tile"]
 
 HALO = 8  # halo band rows = the f32 sublane tile; keeps every DMA aligned
+
+
+#: Conservative default VMEM budget: safe on every TPU generation.  v5e/v6e
+#: have 128 MiB of VMEM — pass a larger ``vmem_budget`` there (the round-2
+#: tile sweep on v5e showed bigger tiles cut the halo re-read overhead;
+#: see benchmarks/PERF.md).
+DEFAULT_VMEM_BUDGET = 14 * 2**20
+
+
+def effective_tile(ny: int, nx: int, dtype, tile: int,
+                   vmem_budget: int = DEFAULT_VMEM_BUDGET) -> int:
+    """The tile size :func:`stencil_matvec` actually runs with.
+
+    The VMEM budget is computed with ``nx`` rounded **up** to the 128-lane
+    tile (Mosaic pads the lane dimension, so a logical nx=130 occupies 256
+    lanes of VMEM — ADVICE.md round 1).  Raises ``ValueError`` when even the
+    minimal tile cannot fit, instead of knowingly exceeding the budget and
+    letting Mosaic OOM.
+    """
+    nx_eff = -(-nx // 128) * 128
+    itemsize = np.dtype(dtype).itemsize
+    tmax = (vmem_budget // (itemsize * nx_eff) - 4 * HALO) // 4
+    if tmax < HALO:
+        raise ValueError(
+            f"stencil_matvec: nx={nx} too wide for the {vmem_budget >> 20} "
+            f"MiB VMEM budget (max tile {tmax} < minimum {HALO}); shard the "
+            "x-dimension or reduce nx")
+    tile = min(tile, max(ny, HALO), tmax)
+    tile -= tile % HALO  # keep every DMA offset 8-aligned
+    return max(tile, HALO)
 
 
 def _kernel(u_hbm, out_ref, w, sems, *, tile, nx, nprog, ihx2, ihy2):
@@ -130,9 +160,11 @@ def _kernel(u_hbm, out_ref, w, sems, *, tile, nx, nprog, ihx2, ihy2):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ihx2", "ihy2", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ihx2", "ihy2", "tile",
+                                             "interpret", "vmem_budget"))
 def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   vmem_budget: int = DEFAULT_VMEM_BUDGET):
     """5-point ``-Delta`` matvec via the Pallas kernel.
 
     ``u``: (ny, nx) interior grid.  Rows are zero-padded so ``tile`` divides
@@ -144,18 +176,23 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
 
     ny, nx = u.shape
     # VMEM budget: 2 double-buffered input windows of (tile+16, nx) plus
-    # Pallas' own double-buffered (tile, nx) output blocks must fit in
-    # ~14 MiB of the 16 MiB VMEM: (4*tile + 32) * nx * itemsize <= budget.
-    budget = 14 * 2**20
-    tmax = (budget // (np.dtype(u.dtype).itemsize * nx) - 4 * HALO) // 4
-    tile = max(HALO, min(tile, ny, tmax))
-    tile -= tile % HALO  # keep every DMA offset 8-aligned
+    # Pallas' own double-buffered (tile, nx) output blocks must fit in the
+    # budget: (4*tile + 32) * nx * itemsize <= budget (nx rounded up to the
+    # 128-lane tile — see effective_tile).
+    tile = effective_tile(ny, nx, u.dtype, tile, vmem_budget)
     pad = (-ny) % tile
     u_p = jnp.pad(u, ((0, pad), (0, 0))) if pad else u
     ny_p = ny + pad
 
     kernel = functools.partial(_kernel, tile=tile, nx=nx, nprog=ny_p // tile,
                                ihx2=ihx2, ihy2=ihy2)
+    extra = {}
+    if not interpret and vmem_budget > DEFAULT_VMEM_BUDGET:
+        # Mosaic's default scoped-VMEM limit matches the classic 16 MiB
+        # assumption; raise it when the caller opted into a larger budget
+        # (v5e/v6e carry 128 MiB of VMEM).
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_budget + (2 << 20), 128 << 20))
     out = pl.pallas_call(
         kernel,
         grid=(ny_p // tile,),
@@ -172,6 +209,7 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
             bytes_accessed=2 * ny_p * nx * u.dtype.itemsize,
             transcendentals=0,
         ),
+        **extra,
     )(u_p)
     return out[:ny] if pad else out
 
@@ -181,17 +219,19 @@ class PallasPoisson2D(LinearOperator):
     :class:`lightkrylov_tpu.models.Poisson2D` (same grid/spacing/SPD)."""
 
     _children = ()
-    _static = ("nx", "ny", "dtype_", "tile", "interpret")
+    _static = ("nx", "ny", "dtype_", "tile", "interpret", "vmem_budget")
 
     is_hermitian = True
 
     def __init__(self, nx: int, ny: int | None = None, dtype=jnp.float32,
-                 tile: int = 256, interpret: bool = False):
+                 tile: int = 256, interpret: bool = False,
+                 vmem_budget: int = DEFAULT_VMEM_BUDGET):
         self.nx = nx
         self.ny = ny if ny is not None else nx
         self.dtype_ = np.dtype(dtype)
         self.tile = tile
         self.interpret = interpret
+        self.vmem_budget = vmem_budget
 
     @property
     def hx(self):
@@ -201,6 +241,13 @@ class PallasPoisson2D(LinearOperator):
     def hy(self):
         return 1.0 / (self.ny + 1)
 
+    @property
+    def tile_effective(self) -> int:
+        """Tile the kernel actually runs with after the VMEM-budget clamp
+        (ADVICE.md round 1: sweeps must label the effective tile)."""
+        return effective_tile(self.ny, self.nx, self.dtype_, self.tile,
+                              self.vmem_budget)
+
     def template(self):
         return jnp.zeros((self.ny, self.nx), self.dtype_)
 
@@ -208,6 +255,7 @@ class PallasPoisson2D(LinearOperator):
         return stencil_matvec(
             u, ihx2=1.0 / self.hx**2, ihy2=1.0 / self.hy**2,
             tile=self.tile, interpret=self.interpret,
+            vmem_budget=self.vmem_budget,
         )
 
     def rmatvec(self, u):

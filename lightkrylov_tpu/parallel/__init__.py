@@ -13,8 +13,10 @@ from .mesh import (
     NamedSharding,
 )
 from .stencil import ShardedPoisson2D, ShardedGinzburgLandau
+from .bell import ShardedBellOperator
 
 __all__ = [
+    "ShardedBellOperator",
     "comm_setup",
     "make_mesh",
     "distribute",

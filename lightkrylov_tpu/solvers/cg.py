@@ -21,7 +21,9 @@ import numpy as np
 
 from .. import constants, vectors
 from ..linops import IdentityOperator, aslinop
+from ..utils.logger import check_info
 from ..utils.options import CGOptions, SolverMetadata
+from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["cg"]
 
@@ -63,6 +65,7 @@ def _cg_impl(A, b, x0, M, tol, maxiter):
     return x, res, hist, k
 
 
+@timed_fn("cg", "IterativeSolvers")
 def cg(A, b, x0=None, rtol=None, atol=None, preconditioner=None,
        options: CGOptions | None = None):
     """Preconditioned CG for SPD/HPD ``A x = b`` -> ``(x, info, metadata)``
@@ -85,6 +88,11 @@ def cg(A, b, x0=None, rtol=None, atol=None, preconditioner=None,
     res, k = float(res), int(k)
     converged = res < float(tol)
     info = k if converged else -k
+    # r0 matvec + one matvec per iteration (apply_matvec accounting)
+    count_applications(A, k + 1, "matvec")
+    if not isinstance(M, IdentityOperator):
+        count_applications(M, k + 1, "matvec")
+    check_info(info, "cg", "solvers", "cg")
     meta = SolverMetadata(
         converged=converged, n_iter=k, n_inner=k, info=info,
         residuals=np.asarray(hist)[:k],

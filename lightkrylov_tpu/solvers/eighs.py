@@ -30,8 +30,9 @@ from .. import constants, vectors
 from ..krylov.lanczos import initialize_lanczos, lanczos
 from ..linops import aslinop
 from .eigs import _reconstruct
-from ..utils.logger import log_information, log_warning
+from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
+from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["eighs"]
 
@@ -48,6 +49,7 @@ def _thick_restart_compress(X, V_keep, diag_w, coupling):
     return Xc, T_new, coupling
 
 
+@timed_fn("eighs", "IterativeSolvers")
 def eighs(A, nev: int, x0=None, kdim: int | None = None,
           tolerance: float | None = None, options: EigsOptions | None = None,
           key=None, check_every: int | None = None):
@@ -84,7 +86,9 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
             kend = min(kdim, k + stride - 1)
             X, T, linfo = lanczos(A, X, T, kstart=k, kend=kend)
             linfo = int(linfo)
+            check_info(linfo, "lanczos", "solvers", "eighs")
             k_eff = linfo if linfo > 0 else kend
+            count_applications(A, max(k_eff - (k - 1), 0), "matvec")
             niter += k_eff - (k - 1)
 
             Th = np.asarray(jax.device_get(T))

@@ -32,8 +32,9 @@ from ..krylov.arnoldi import arnoldi, initialize_arnoldi
 from ..krylov.krylov_schur import krylov_schur, median_selector
 from ..linops import aslinop
 from ..utils import linalg
-from ..utils.logger import log_information, log_warning
+from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
+from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["eigs", "save_eigenspectrum"]
 
@@ -74,6 +75,7 @@ def _ritz_residuals(H, evecs, k):
     return beta * np.abs(evecs[-1, :])
 
 
+@timed_fn("eigs", "IterativeSolvers")
 def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None = None,
          transpose: bool = False, select=None, options: EigsOptions | None = None,
          key=None, check_every: int | None = None):
@@ -122,8 +124,11 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             kend = min(kdim, k + stride - 1)
             X, H, ainfo = arnoldi(A, X, H, kstart=k, kend=kend, transpose=transpose)
             ainfo = int(ainfo)
+            check_info(ainfo, "arnoldi", "solvers", "eigs")
             k_eff = ainfo if ainfo > 0 else kend
             niter += k_eff - (k - 1)
+            count_applications(A, k_eff - (k - 1),
+                               "rmatvec" if transpose else "matvec")
 
             Hh = np.asarray(jax.device_get(H))
             Hk = Hh[:k_eff, :k_eff]
@@ -167,6 +172,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     ritz_vecs = _reconstruct(X_lead, coeffs)
 
     info = n_conv if converged else -n_conv
+    check_info(info if not converged else niter, "eigs", "solvers", "eigs")
     meta = SolverMetadata(
         converged=converged, n_iter=niter, n_inner=niter, info=info,
         residuals=np.concatenate(res_history) if res_history else np.zeros(0),

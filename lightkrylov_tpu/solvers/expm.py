@@ -31,7 +31,9 @@ from .. import constants, vectors
 from ..krylov.arnoldi import arnoldi_step, initialize_arnoldi
 from ..linops import LinearOperator, aslinop
 from ..utils import linalg
+from ..utils.logger import check_info
 from ..utils.options import KexpmOptions
+from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["kexpm", "kexpm_mat", "krylov_exptA", "ExponentialPropagator"]
 
@@ -76,6 +78,7 @@ def _kexpm_impl(A, b, tau, tol, kdim, transpose):
     return c, err, k, broke
 
 
+@timed_fn("kexpm", "ExpmLib")
 def kexpm(A, b, tau, tol: float | None = None, transpose: bool = False,
           kdim: int | None = None, options: KexpmOptions | None = None):
     """``c ~= exp(tau A) b`` -> ``(c, info)``.
@@ -102,6 +105,8 @@ def kexpm(A, b, tau, tol: float | None = None, transpose: bool = False,
         info = k
     else:
         info = -1
+    count_applications(A, k, "rmatvec" if transpose else "matvec")
+    check_info(info, "kexpm", "solvers", "kexpm")
     return c, info
 
 

@@ -31,7 +31,9 @@ from .. import constants, vectors
 from ..krylov.gram_schmidt import double_gram_schmidt_step
 from ..linops import IdentityOperator, Preconditioner, aslinop
 from ..utils import linalg
+from ..utils.logger import check_info
 from ..utils.options import GMRESOptions, SolverMetadata
+from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["gmres", "fgmres"]
 
@@ -154,6 +156,15 @@ def _solve(A, b, x0, rtol, atol, preconditioner, options, transpose, flexible, m
     nin = int(nin)
     converged = res < float(tol)
     info = int(n_iter) if converged else -int(n_iter)
+    # Execution-accurate operator accounting (reference: apply_matvec
+    # wrappers, AbstractLinops.fypp:390-424): each outer cycle does one r0
+    # matvec (+ one sanity matvec), each inner iteration one matvec.
+    n_mv = int(n_iter) + int(outer) * (1 + int(bool(opts.sanity_check)))
+    count_applications(A, n_mv, "rmatvec" if transpose else "matvec")
+    if not isinstance(M, IdentityOperator):
+        count_applications(M, int(n_iter) + (0 if flexible else int(outer)),
+                           "matvec")
+    check_info(info, meta_name, "solvers", meta_name)
     meta = SolverMetadata(
         converged=converged,
         n_iter=int(outer),
@@ -166,6 +177,7 @@ def _solve(A, b, x0, rtol, atol, preconditioner, options, transpose, flexible, m
     return x, info, meta
 
 
+@timed_fn("gmres", "IterativeSolvers")
 def gmres(A, b, x0=None, rtol=None, atol=None, preconditioner=None,
           options: GMRESOptions | None = None, transpose: bool = False):
     """Restarted GMRES(kdim) for ``A x = b`` -> ``(x, info, metadata)``
@@ -181,6 +193,7 @@ def gmres(A, b, x0=None, rtol=None, atol=None, preconditioner=None,
                   flexible=False, meta_name="gmres")
 
 
+@timed_fn("fgmres", "IterativeSolvers")
 def fgmres(A, b, x0=None, rtol=None, atol=None, preconditioner=None,
            options: GMRESOptions | None = None, transpose: bool = False):
     """Flexible GMRES: stores preconditioned directions so the

@@ -28,12 +28,14 @@ from .. import constants, vectors
 from ..krylov.bidiag import bidiagonalization, initialize_bidiag
 from ..linops import aslinop
 from .eigs import _reconstruct
-from ..utils.logger import log_information, log_warning
+from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import SVDSOptions, SolverMetadata
+from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["svds"]
 
 
+@timed_fn("svds", "IterativeSolvers")
 def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
          tolerance: float | None = None, options: SVDSOptions | None = None,
          key=None, check_every: int | None = None):
@@ -72,7 +74,10 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
             kend = min(kdim, k + stride - 1)
             U, V, B, binfo = bidiagonalization(A, U, V, B, kstart=k, kend=kend)
             binfo = int(binfo)
+            check_info(binfo, "bidiagonalization", "solvers", "svds")
             k_eff = binfo if binfo > 0 else kend
+            count_applications(A, max(k_eff - (k - 1), 0), "matvec")
+            count_applications(A, max(k_eff - (k - 1), 0), "rmatvec")
             niter += k_eff - (k - 1)
 
             Bh = np.asarray(jax.device_get(B))

@@ -121,8 +121,17 @@ _BENIGN = {
 }
 
 
+#: Origins whose *negative* info means "did not converge within maxiter" —
+#: a logged warning, not a fatal error (reference: Logger.f90:653-667 logs
+#: "Maximum number of GMRES iterations reached" as a message).  Negative
+#: info from the Krylov *processes* (qr/arnoldi/...) stays fatal.
+_SOLVER_ORIGINS = frozenset(
+    {"eigs", "eighs", "svds", "gmres", "fgmres", "cg", "newton", "kexpm"})
+
+
 def check_info(info: int, origin: str, module: str | None = None, procedure: str | None = None) -> None:
-    """Decode an ``info`` flag: log benign events, raise on fatal
+    """Decode an ``info`` flag: log benign events, warn on solver
+    non-convergence, raise on fatal
     (reference: Logger.f90:316-748 and ``exit_on_error`` at :18)."""
     if info == 0:
         return
@@ -130,5 +139,10 @@ def check_info(info: int, origin: str, module: str | None = None, procedure: str
     if info > 0 or (origin_key == "kexpm" and info == -2):
         msg = _BENIGN.get(origin_key, "info = {info}").format(info=info)
         log_information(f"{origin}: {msg}", module, procedure)
+        return
+    if origin_key in _SOLVER_ORIGINS:
+        log_warning(
+            f"{origin}: maximum iterations reached ({-info}); tolerance "
+            "not achieved.", module, procedure)
         return
     stop_error(f"{origin}: fatal error, info = {info}.", module, procedure)

@@ -31,9 +31,12 @@ __all__ = [
     "time_lightkrylov",
     "set_timing",
     "timed",
+    "timed_fn",
     "matvec_counter",
+    "count_applications",
     "reset_counters",
     "get_counter",
+    "counters_summary",
 ]
 
 _timing_enabled = False
@@ -149,6 +152,30 @@ class Watch:
 global_watch = Watch()
 
 
+def timed_fn(name: str, group: str = "user"):
+    """Decorator bracketing an eager library routine with a named timer,
+    synchronising on the routine's outputs so device work is attributed to
+    it (reference: every routine self-times when ``time_lightkrylov()`` is
+    on — Timer.fypp:67-113, arnoldi.fypp:18,75).  Zero overhead when timing
+    is disabled."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if not _timing_enabled:
+                return fn(*args, **kwargs)
+            with timed(name, group):
+                out = fn(*args, **kwargs)
+                try:
+                    jax.block_until_ready(out)
+                except Exception:  # non-array outputs: wall-clock only
+                    pass
+            return out
+        return wrapper
+    return deco
+
+
 @contextmanager
 def timed(name: str, group: str = "user"):
     """Context manager bracketing a stage with a named timer + profiler
@@ -223,9 +250,33 @@ def matvec_counter(A, name: str):
     return MatvecOperator(mv, rmv, is_hermitian=A.is_hermitian)
 
 
+def count_applications(A, n: int, kind: str = "matvec") -> None:
+    """Record that operator ``A`` was applied ``n`` times.
+
+    This is the TPU-native realization of the reference's per-operator
+    ``apply_matvec`` counting wrappers (AbstractLinops.fypp:34-37,390-424):
+    solver cores are single jitted ``while_loop``s, so per-application
+    host callbacks are impossible on runtimes without host-callback support
+    (axon) and would serialize the device stream elsewhere.  Instead every
+    solver *knows* how many applications its jitted sweep executed (from
+    its returned iteration counts) and records them here eagerly — counts
+    are execution-accurate, keyed by operator class name."""
+    if n:
+        _counters[f"{type(A).__name__}.{kind}"] += int(n)
+
+
 def reset_counters() -> None:
     _counters.clear()
 
 
 def get_counter(name: str) -> int:
     return _counters[name]
+
+
+def counters_summary() -> str:
+    """Formatted table of all nonzero call counters (reference: the
+    matvec/rmatvec counts printed by the operator finalizers)."""
+    lines = ["== call counters =="]
+    for name in sorted(_counters):
+        lines.append(f"  {name:<40s} {_counters[name]}")
+    return "\n".join(lines)

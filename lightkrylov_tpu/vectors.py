@@ -315,7 +315,7 @@ def scal_basis(alpha, X):
 
 # -- property-based axiom checking -------------------------------------------
 
-def verify_vector_axioms(key, x_template, n_trials: int = 10, rtol=None):
+def verify_vector_axioms(key, x_template, n_trials: int = 100, rtol=None):
     """Check the 8 vector-space axioms on random data.
 
     Counterpart of ``verify_vector_axioms``

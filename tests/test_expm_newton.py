@@ -171,3 +171,66 @@ def test_kexpm_mat_block(dtype_dp, rng):
         exact = E @ B[j]
         got = np.asarray(jax.tree_util.tree_leaves(C)[0])[j]
         assert np.linalg.norm(got - exact) / np.linalg.norm(exact) < 1e-8
+
+
+def test_newton_target_tol_recheck():
+    """Convergence declared at a relaxed scheduler tolerance must be
+    re-validated at the *target* tolerance with an accurate residual
+    evaluation (reference: NewtonKrylov.fypp:369-387).  The system's eval
+    degrades its accuracy to the requested tol, so a relaxed-tol pass that
+    skipped the recheck would accept a state whose true residual fails."""
+    from lightkrylov_tpu.systems import System
+
+    base = fixed_point_system()
+
+    def sloppy_response(x, atol):
+        # Forwards to the Roessler residual but perturbs it by ~0.3*atol —
+        # detectable only through the target-tol re-evaluation.
+        return base.eval(x, atol) + 0.3 * atol
+
+    sloppy = System(sloppy_response, jacobian=lambda x: base.jacobian(x),
+                    takes_atol=True)
+    fp_minus, _ = roessler_fixed_points()
+    X0 = jnp.zeros(3, jnp.float64)
+    X, info, meta = lk.newton(sloppy, X0, rtol=0.0, atol=1e-10,
+                              scheduler=lk.dynamic_tol)
+    assert info > 0
+    # the final recorded residual passed the target tolerance
+    assert meta.residuals[-1] < 1e-10 + 0.31e-10
+    assert np.allclose(np.asarray(X), fp_minus, atol=1e-8)
+
+
+def test_auto_instrumentation_counters_and_timers():
+    """gmres/eigs/cg record per-operator matvec counts and named timers
+    WITHOUT user opt-in (VERDICT r1 item 4; reference:
+    AbstractLinops.fypp:390-424 counting, Timer.fypp self-timing)."""
+    from lightkrylov_tpu.models import Poisson2D, TridiagToeplitz
+    from lightkrylov_tpu.utils import timer as tm
+
+    tm.reset_counters()
+    tm.set_timing(True)
+    try:
+        op = Poisson2D(16, dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal((16, 16)))
+        x, info, _ = lk.cg(op, b, rtol=1e-8)
+        assert tm.get_counter("Poisson2D.matvec") >= abs(info) + 1
+
+        T = TridiagToeplitz(64, a=2.0, b=-1.0, c=-0.5, dtype=jnp.float64)
+        bt = jnp.asarray(rng.standard_normal(64))
+        x, info, _ = lk.gmres(T, bt, rtol=1e-8)
+        assert tm.get_counter("TridiagToeplitz.matvec") > 0
+
+        vals, vecs, res, info, _ = lk.eigs(T, nev=2, kdim=12,
+                                           x0=jnp.ones(64, jnp.float64))
+        assert tm.get_counter("TridiagToeplitz.matvec") > 12
+
+        # named timers were populated by the solver brackets
+        names = {t.name for t in tm.global_watch._timers.values() if t.count}
+        assert {"cg", "gmres", "eigs"} <= names
+        summary = tm.global_watch.summary()
+        assert "IterativeSolvers" in summary
+        assert "TridiagToeplitz.matvec" in tm.counters_summary()
+    finally:
+        tm.set_timing(False)
+        tm.reset_counters()

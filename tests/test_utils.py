@@ -87,8 +87,12 @@ def test_check_info_benign_and_fatal():
     check_info(0, "gmres")           # no-op
     check_info(5, "arnoldi")         # benign breakdown, logs only
     check_info(-2, "kexpm")          # benign for kexpm
+    check_info(-7, "gmres")          # solver non-convergence: warning only
+    check_info(-3, "cg")             # (reference: Logger.f90:653-667)
     with pytest.raises(LightKrylovError):
-        check_info(-1, "gmres")
+        check_info(-1, "qr")         # process failure stays fatal
+    with pytest.raises(LightKrylovError):
+        check_info(-4, "arnoldi")
 
 
 def test_logger_setup_levels(caplog):

@@ -23,7 +23,7 @@ def _template(dtype, pytree=False):
 def test_vector_axioms(key, dtype, pytree):
     """8 vector-space axioms on random data
     (reference: AbstractVectors.fypp:733-927)."""
-    lk.verify_vector_axioms(key, _template(dtype, pytree), n_trials=10)
+    lk.verify_vector_axioms(key, _template(dtype, pytree), n_trials=100)
 
 
 def test_dot_conjugate_linearity(key, dtype):
