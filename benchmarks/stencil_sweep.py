@@ -50,27 +50,54 @@ def main():
     u = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
     nnz = 5 * N * N - 4 * N
 
-    # fusion-proof HBM stream roofline at the same footprint
+    # fusion-proof HBM stream roofline at the same footprint.  Mosaic's
+    # scoped-VMEM limit defaults to 16 MiB — raise it explicitly, the copy
+    # double-buffers 4 blocks (in+out x 2).
+    from jax.experimental.pallas import tpu as pltpu
+
     def _copy_kernel(x_ref, y_ref):
         y_ref[:, :] = x_ref[:, :]
 
-    rows = 256
+    def make_copy(rows):
+        @jax.jit
+        def pallas_copy(x):
+            return pl.pallas_call(
+                _copy_kernel,
+                grid=(N // rows,),
+                in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((rows, N), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((N, N), x.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=min(rows * N * 4 * 4 + (2 << 20),
+                                         128 << 20)),
+            )(x)
+        return pallas_copy
 
-    @jax.jit
-    def pallas_copy(x):
-        return pl.pallas_call(
-            _copy_kernel,
-            grid=(N // rows,),
-            in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0))],
-            out_specs=pl.BlockSpec((rows, N), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((N, N), x.dtype),
-        )(x)
-
-    t, d = timed_loop(pallas_copy, u)
-    bw_copy = 2 * N * N * 4 / t
-    log(f"pallas copy 8192^2: {bw_copy/1e9:.1f} GB/s (valid={d['valid']})")
+    bw_copy = 0.0
+    res["copy_sweep"] = []
+    for rows in (128, 256, 512):
+        t, d = timed_loop(make_copy(rows), u)
+        bw = 2 * N * N * 4 / t
+        log(f"pallas copy 8192^2 rows={rows}: {bw/1e9:.1f} GB/s "
+            f"(valid={d['valid']})")
+        res["copy_sweep"].append({"rows": rows, "GBs": round(bw / 1e9, 1),
+                                  "valid": d["valid"]})
+        bw_copy = max(bw_copy, bw)
     res["pallas_copy_GBs"] = round(bw_copy / 1e9, 1)
     sheet = datasheet_bw(kind) or bw_copy
+
+    # XLA reference points at the same HBM-bound size
+    from lightkrylov_tpu.models import Poisson2D
+
+    nnz8 = nnz
+    t, d = timed_loop(lambda a: jax.lax.optimization_barrier(a + 1.0), u)
+    log(f"XLA a+1.0 barrier 8192^2: {2*N*N*4/t/1e9:.1f} GB/s (valid={d['valid']})")
+    res["xla_stream_barrier_GBs"] = round(2 * N * N * 4 / t / 1e9, 1)
+    xop = Poisson2D(N, dtype=jnp.float32)
+    t, d = timed_loop(lambda v: jax.lax.optimization_barrier(xop.matvec(v)), u)
+    log(f"XLA stencil 8192^2: {nnz8/t/1e9:.2f} Gnnz/s "
+        f"({2*N*N*4/t/1e9:.1f} GB/s eff, valid={d['valid']})")
+    res["xla_stencil_Gnnzs"] = round(nnz8 / t / 1e9, 2)
 
     res["sweep"] = []
     for tile, budget_mib in ((104, 14), (256, 36), (512, 68), (736, 96)):

@@ -113,8 +113,11 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
     of the new block's R).
 
     ``X`` holds ``kdim + p`` stacked columns, ``H`` is
-    ``(kdim + p, kdim)`` with ``kdim = n_blocks * p``.  Static block loop
-    (block count is small); returns ``(X, H, info)``.
+    ``(kdim + p, kdim)`` with ``kdim = n_blocks * p``.  Like :func:`arnoldi`,
+    ``kstart``/``kend`` may be *dynamic* (traced) scalars — the block loop is
+    a jitted ``lax.while_loop``, so a single compiled executable serves every
+    Krylov-Schur restart cycle (``kstart - 1`` and ``kend`` must be multiples
+    of ``p``).  Returns ``(X, H, info)``.
     """
     kdim = H.shape[1]
     assert kdim % p == 0, "kdim must be a multiple of the block size"
@@ -122,28 +125,40 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
     dt = vectors.dtype_of(X)
     if tol is None:
         tol = constants.atol(constants.real_dtype_of(dt))
-    k0 = (int(kstart) - 1) // p
-    k1 = n_blocks if kend is None else int(kend) // p
-    info = jnp.zeros((), jnp.int32)
 
-    for b in range(k0, k1):
-        cols = list(range(b * p, (b + 1) * p))
+    b0 = (jnp.asarray(kstart, jnp.int32) - 1) // p
+    b1 = (jnp.asarray(n_blocks * p if kend is None else kend, jnp.int32)) // p
+
+    def cond(carry):
+        X, H, b, info = carry
+        return (b < b1) & (info == 0)
+
+    def body(carry):
+        X, H, b, info = carry
         # matvec the whole block at once (one batched kernel / MXU GEMM)
-        blk_in = jax.tree.map(lambda l: l[cols[0]:cols[-1] + 1], X)
+        blk_in = jax.tree.map(
+            lambda l: jax.lax.dynamic_slice_in_dim(l, b * p, p, axis=0), X)
         blk = A.rmatvec_basis(blk_in) if transpose else A.matvec_basis(blk_in)
-        # CGS2 against every previous column
+        # CGS2 against every previous column (unfilled columns are zero)
         blk, proj = double_gram_schmidt_step(blk, X)
-        H = jax.lax.dynamic_update_slice(
-            H, proj.astype(dt), (jnp.int32(0), jnp.int32(b * p))
-        )
+        H = jax.lax.dynamic_update_slice(H, proj.astype(dt),
+                                         (jnp.int32(0), b * p))
         # intra-block QR
-        Q, R, qinfo = _qr(blk, tol=tol, key=key)
-        for i, c in enumerate(cols):
-            X = vectors.set_column(X, (b + 1) * p + i, vectors.get_column(Q, i))
-        H = jax.lax.dynamic_update_slice(
-            H, R.astype(dt), (jnp.int32((b + 1) * p), jnp.int32(b * p))
-        )
+        Q, R, _ = _qr(blk, tol=tol, key=key)
+        X = jax.tree.map(
+            lambda l, q: jax.lax.dynamic_update_slice_in_dim(
+                l, q.astype(l.dtype), (b + 1) * p, axis=0),
+            X, Q)
+        H = jax.lax.dynamic_update_slice(H, R.astype(dt),
+                                         ((b + 1) * p, b * p))
         # breakdown: smallest diagonal of R below tol
         res = jnp.min(jnp.abs(jnp.diagonal(R)))
-        info = jnp.where((info == 0) & (res <= tol), (b + 1) * p, info).astype(jnp.int32)
+        info = jnp.where((info == 0) & (res <= tol),
+                         (b + 1) * p, info).astype(jnp.int32)
+        # NaN: fatal negative info (reference: qr.fypp:72-78)
+        info = jnp.where(jnp.isnan(res), -(b * p + 1), info).astype(jnp.int32)
+        return X, H, b + 1, info
+
+    X, H, _, info = jax.lax.while_loop(
+        cond, body, (X, H, b0, jnp.zeros((), jnp.int32)))
     return X, H, info
