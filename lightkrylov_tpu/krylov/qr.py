@@ -26,7 +26,7 @@ __all__ = ["qr", "qr_pivoted"]
 def _replacement_basis(key, X):
     """Pre-drawn random candidates, one per column, for breakdown repair."""
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = vectors.default_key()
     return vectors.rand_basis(key, X)
 
 

@@ -116,17 +116,22 @@ def _spmv_kernel(cols_ref, data_ref, x_ref, y_ref, *, K, bm, bn, R):
     # bm sublanes.  Dynamic indexing then only touches the *untiled* leading
     # axis (whole (8,128) tiles) — Mosaic cannot prove alignment of a
     # sub-tile dynamic offset into a flat x (vector.load wants the 1-D
-    # offset to be a multiple of 1024).  The block product collapses to an
-    # elementwise multiply + lane reduction on the VPU, which at 2 flops/
-    # loaded byte stays far under the HBM stream of ``data`` (the roofline).
+    # offset to be a multiple of 1024).
+    #
+    # The K-loop accumulates a full (bm, bn) tile and the cross-lane
+    # reduction happens ONCE per block-row, after the loop: a per-block
+    # ``sum(blk*xk, axis=1)`` costs ~log2(bn) VPU shuffle steps per block
+    # and made the kernel compute-bound (measured 533 GB/s vs the 700 GB/s
+    # Pallas-copy stream on v5e); with one multiply-add per block the VPU
+    # keeps ahead of the HBM stream of ``data`` (the roofline).
     for r in range(R):  # static
-        acc = jnp.zeros((bm,), data_ref.dtype)
+        acc = jnp.zeros((bm, bn), data_ref.dtype)
         for k in range(K):  # static unrolled block loop
             c = cols_ref[r, k]
             xk = x_ref[c]           # (bm, bn), rows identical
             blk = data_ref[r, k]    # (bm, bn)
-            acc = acc + jnp.sum(blk * xk, axis=1)
-        y_ref[r, :] = acc
+            acc = acc + blk * xk
+        y_ref[r, :] = jnp.sum(acc, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -64,7 +64,7 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
     if x0 is None:
         raise ValueError("eighs requires x0 (a template/seed vector)")
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = vectors.default_key()
     dt = vectors.dtype_of(x0)
     rdt = constants.real_dtype_of(dt)
     tol = tolerance if tolerance is not None else constants.rtol(rdt)

@@ -93,7 +93,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     if kdim is None:
         kdim = opts.kdim or 4 * nev  # (reference: :1023)
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = vectors.default_key()
     if x0 is None:
         raise ValueError("eigs requires x0 (a template/seed vector)")
     dt = vectors.dtype_of(x0)

@@ -52,7 +52,7 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
     if v_template is None:
         v_template = u0  # square operator
     if key is None:
-        key = jax.random.PRNGKey(0)
+        key = vectors.default_key()
     dt = vectors.dtype_of(u0)
     rdt = constants.real_dtype_of(dt)
     tol = tolerance if tolerance is not None else constants.rtol(rdt)

@@ -44,6 +44,7 @@ __all__ = [
     "sub",
     "chsgn",
     "zero_like",
+    "default_key",
     "rand_like",
     "get_size",
     "dtype_of",
@@ -129,9 +130,26 @@ def zero_like(x):
     return jax.tree.map(jnp.zeros_like, x)
 
 
+def default_key(seed: int = 0):
+    """``jax.random.PRNGKey(seed)`` built without eager integer conversion.
+
+    ``PRNGKey`` eagerly runs ``convert_element_type`` on an int64 scalar on
+    the default device, which the axon TPU plugin rejects (UNIMPLEMENTED).
+    The equivalent threefry key data is just the seed's two uint32 words,
+    which transfer as-is with no device-side op.
+    """
+    data = jnp.asarray(
+        np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], np.uint32))
+    return jax.random.wrap_key_data(data, impl="threefry2x32")
+
+
+@partial(jax.jit, static_argnames=("ifnorm",))
 def rand_like(key, x, ifnorm: bool = False):
     """Standard-normal random vector with the structure/dtype of ``x``
-    (reference: deferred ``rand``; normalization flag as in ``rand(ifnorm)``)."""
+    (reference: deferred ``rand``; normalization flag as in ``rand(ifnorm)``).
+
+    Jitted: eager ``jax.random`` ops are one remote compile each (and some
+    are unimplemented) on the axon TPU plugin."""
     leaves, treedef = jax.tree_util.tree_flatten(x)
     keys = jax.random.split(key, len(leaves))
     new_leaves = []
@@ -218,6 +236,7 @@ def zero_basis_like(X):
     return jax.tree.map(jnp.zeros_like, X)
 
 
+@partial(jax.jit, static_argnames=("ifnorm",))
 def rand_basis(key, X, ifnorm: bool = False):
     """Random basis with the structure of ``X`` (reference: ``rand_basis``)."""
     k = basis_size(X)
