@@ -45,6 +45,13 @@ def comm_setup(coordinator_address: str | None = None,
     environment variables make all arguments optional.
     """
     if num_processes is not None and num_processes > 1 or coordinator_address:
+        # Cross-process collectives on the CPU backend need an explicit
+        # implementation (gloo ships with jaxlib); must be selected before
+        # the backend initializes.  Harmless for TPU (per-backend setting).
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # pragma: no cover - older jaxlib without the flag
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
