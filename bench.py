@@ -150,21 +150,33 @@ def main():
                           "value": 0.0, "unit": "Gnnz/s", "vs_baseline": 0.0}))
         return
 
-    used = "pallas"
+    # Measure BOTH operator implementations and report the faster one: at
+    # the 10M-DoF bench scale the working set fits v5e VMEM, where XLA's
+    # cross-iteration fusion beats an HBM-streaming Pallas kernel (see
+    # benchmarks/PERF.md §2); on larger-than-VMEM problems the Pallas
+    # kernel wins.  Both are the framework's own operator layer.
+    candidates = {}
     try:
         op = PallasPoisson2D(nx, ny, dtype=jnp.float32, tile=256,
                              interpret=not on_tpu)
         if not on_tpu:
             raise RuntimeError("interpret mode too slow for timing")
-        t, kdiag = timed_loop(op.matvec, u)
-    except Exception:
-        used = "xla"
-        op = Poisson2D(nx, ny, dtype=jnp.float32)
-        t, kdiag = timed_loop(op.matvec, u)
-    if not kdiag["valid"]:
-        print(json.dumps({"metric": f"poisson_spmv_{used}_invalid_timing",
+        t_p, d_p = timed_loop(op.matvec, u)
+        if d_p["valid"]:
+            candidates["pallas"] = (t_p, d_p)
+    except Exception as e:
+        print(f"# pallas kernel skipped: {type(e).__name__}", file=sys.stderr)
+    op = Poisson2D(nx, ny, dtype=jnp.float32)
+    t_x, d_x = timed_loop(op.matvec, u)
+    if d_x["valid"]:
+        candidates["xla"] = (t_x, d_x)
+    if not candidates:
+        print(json.dumps({"metric": "poisson_spmv_invalid_timing",
                           "value": 0.0, "unit": "Gnnz/s", "vs_baseline": 0.0}))
         return
+    for name, (tc, _) in candidates.items():
+        print(f"# {name}: {nnz / tc / 1e9:.1f} Gnnz/s", file=sys.stderr)
+    used, (t, kdiag) = min(candidates.items(), key=lambda kv: kv[1][0])
 
     nnz_per_s = nnz / t
     bytes_per_nnz = 8.0 / 5.0  # read u + write y per point, 5 nnz per point
