@@ -134,15 +134,22 @@ def _spmv_kernel(cols_ref, data_ref, x_ref, y_ref, *, K, bm, bn, R):
         y_ref[r, :] = jnp.sum(acc, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bell_spmv(data, cols, x_padded, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_step"))
+def bell_spmv(data, cols, x_padded, interpret: bool = False,
+              rows_per_step: int = 32):
     """``y = A x`` for a Block-ELL matrix; ``x_padded`` is the (n_p,) dense
-    vector (zero-padded to the block grid)."""
+    vector (zero-padded to the block grid).
+
+    ``rows_per_step`` (R) = block-rows per grid step: larger R means bigger
+    contiguous DMA blocks (R·K·bm·bn·itemsize) and fewer grid steps; must
+    be a multiple of 8 for output-tile alignment.  The v5e sweep (PERF.md
+    §3) picks the default."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nbr, K, bm, bn = data.shape
-    R = 8  # block-rows per grid step (output tile alignment)
+    R = max(8, rows_per_step - rows_per_step % 8)
+    nbr0 = nbr
     if nbr % R:  # pad block-rows; padding blocks point at col 0 with zeros
         pad = R - nbr % R
         data = jnp.concatenate(
@@ -178,7 +185,7 @@ def bell_spmv(data, cols, x_padded, interpret: bool = False):
             transcendentals=0,
         ),
     )(cols, data, x_rep)
-    return y.reshape(-1)
+    return y[:nbr0].reshape(-1)  # drop internal R-padding rows
 
 
 class BellOperator(LinearOperator):
@@ -189,16 +196,17 @@ class BellOperator(LinearOperator):
     """
 
     _children = ("data", "cols")
-    _static = ("shape", "nnz", "is_hermitian", "interpret")
+    _static = ("shape", "nnz", "is_hermitian", "interpret", "rows_per_step")
 
     def __init__(self, bell: BellMatrix, is_hermitian: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, rows_per_step: int = 32):
         self.data = bell.data
         self.cols = bell.cols
         self.shape = bell.shape
         self.nnz = bell.nnz
         self.is_hermitian = is_hermitian
         self.interpret = interpret
+        self.rows_per_step = rows_per_step
 
     def template(self):
         return jnp.zeros((self.shape[1],), self.data.dtype)
@@ -207,7 +215,8 @@ class BellOperator(LinearOperator):
         nbr, K, bm, bn = self.data.shape
         n_p = (-(-self.shape[1] // bn)) * bn
         x_p = jnp.pad(x, (0, n_p - x.shape[0])) if n_p != x.shape[0] else x
-        y = bell_spmv(self.data, self.cols, x_p, interpret=self.interpret)
+        y = bell_spmv(self.data, self.cols, x_p, interpret=self.interpret,
+                      rows_per_step=self.rows_per_step)
         return y[: self.shape[0]]
 
     def rmatvec(self, y):
