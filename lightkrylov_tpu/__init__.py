@@ -69,6 +69,7 @@ from .krylov import (
     orthogonalize_against_basis,
     qr,
     qr_pivoted,
+    cholesky_qr2,
     arnoldi,
     arnoldi_block,
     lanczos,

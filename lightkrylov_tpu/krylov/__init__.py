@@ -3,7 +3,7 @@ factorizations and the Krylov-Schur restart
 (TPU-native counterpart of ``src/Krylov/`` — BaseKrylov.fypp:38-52)."""
 
 from .gram_schmidt import double_gram_schmidt_step, orthogonalize_against_basis
-from .qr import qr, qr_pivoted
+from .qr import qr, qr_pivoted, cholesky_qr2
 from .arnoldi import arnoldi, arnoldi_block, arnoldi_step, initialize_arnoldi
 from .lanczos import lanczos, lanczos_step, initialize_lanczos
 from .bidiag import bidiagonalization, initialize_bidiag
@@ -22,6 +22,7 @@ __all__ = [
     "orthogonalize_against_basis",
     "qr",
     "qr_pivoted",
+    "cholesky_qr2",
     "arnoldi",
     "arnoldi_block",
     "arnoldi_step",

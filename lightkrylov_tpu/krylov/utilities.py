@@ -69,8 +69,20 @@ def initialize_random_orthonormal_basis(key, x_template, k: int):
     return Q
 
 
-def orthonormalize_basis(X, key=None):
-    """QR wrapper returning only Q (reference: utilities.fypp:72-82)."""
+def orthonormalize_basis(X, key=None, method: str = "cgs2"):
+    """QR wrapper returning only Q (reference: utilities.fypp:72-82).
+
+    ``method="cholqr2"`` uses :func:`~lightkrylov_tpu.krylov.cholesky_qr2`
+    — two MXU matmul passes and one fused all-reduce per pass instead of
+    the k-step CGS2 column loop; it falls back to CGS2 automatically when
+    the basis is numerically rank-deficient (Cholesky breakdown).
+    """
+    if method == "cholqr2":
+        from .qr import cholesky_qr2
+
+        Q, _, info = cholesky_qr2(X)
+        if info == 0:
+            return Q
     Q, _, _ = qr(X, key=key)
     return Q
 

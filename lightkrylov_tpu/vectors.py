@@ -130,17 +130,21 @@ def zero_like(x):
     return jax.tree.map(jnp.zeros_like, x)
 
 
-def default_key(seed: int = 0):
-    """``jax.random.PRNGKey(seed)`` built without eager integer conversion.
+@partial(jax.jit, static_argnums=0)
+def _prng_key_jit(seed: int):
+    return jax.random.PRNGKey(seed)
 
-    ``PRNGKey`` eagerly runs ``convert_element_type`` on an int64 scalar on
-    the default device, which the axon TPU plugin rejects (UNIMPLEMENTED).
-    The equivalent threefry key data is just the seed's two uint32 words,
-    which transfer as-is with no device-side op.
+
+def default_key(seed: int = 0):
+    """``jax.random.PRNGKey(seed)``, built inside ``jit``.
+
+    Eager ``PRNGKey`` runs ``convert_element_type`` on an int64 scalar on
+    the default device, and an eager uint32 host-to-device transfer has
+    also been observed to fail — both UNIMPLEMENTED on the axon TPU
+    plugin.  Under ``jit`` the seed folds into the compiled executable and
+    the key materializes directly on device, touching neither path.
     """
-    data = jnp.asarray(
-        np.array([(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], np.uint32))
-    return jax.random.wrap_key_data(data, impl="threefry2x32")
+    return _prng_key_jit(int(seed))
 
 
 @partial(jax.jit, static_argnames=("ifnorm",))

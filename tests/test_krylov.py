@@ -75,6 +75,46 @@ def test_qr_breakdown_replacement(key, dtype):
     assert bool(is_orthonormal(Q, rtol=_tols(dtype)))
 
 
+def test_cholesky_qr2(key, dtype):
+    """CholeskyQR2: Q orthonormal + exact reconstruction (TPU-first
+    tall-skinny QR; no reference counterpart)."""
+    from lightkrylov_tpu.krylov import cholesky_qr2
+
+    k = 6
+    X = vectors.rand_basis(key, vectors.zeros_basis(jnp.zeros(N, dtype), k))
+    Q, R, info = cholesky_qr2(X)
+    assert info == 0
+    assert bool(is_orthonormal(Q, rtol=_tols(dtype)))
+    Xm = np.asarray(jax.tree_util.tree_leaves(X)[0])
+    Qm = np.asarray(jax.tree_util.tree_leaves(Q)[0])
+    recon = np.asarray(R).T @ Qm
+    err = np.linalg.norm(recon - Xm) / np.linalg.norm(Xm)
+    assert err < _tols(dtype)
+    assert np.allclose(np.tril(np.asarray(R), -1), 0, atol=10 * _tols(dtype))
+
+
+def test_cholesky_qr2_rank_deficient_fallback(key, dtype_dp):
+    """Rank deficiency: a zero column guarantees a NaN Cholesky pivot ->
+    info=-1, and orthonormalize_basis falls back to the CGS2 path with
+    random replacement.  A merely *collinear* column may round either way
+    (the junk pivot direction acts as a random replacement) — the contract
+    is: info=0 implies Q orthonormal."""
+    from lightkrylov_tpu.krylov import cholesky_qr2, orthonormalize_basis
+
+    dtype = dtype_dp
+    x = vectors.rand_like(key, jnp.zeros(N, dtype))
+    r = vectors.rand_like(jax.random.fold_in(key, 1), x)
+    X0 = vectors.stack([x, vectors.zero_like(x), r])
+    Q, _, info = cholesky_qr2(X0)
+    assert info == -1
+    Q = orthonormalize_basis(X0, key=key, method="cholqr2")
+    assert bool(is_orthonormal(Q, rtol=_tols(dtype)))
+
+    Xc = vectors.stack([x, vectors.scal(2.0, x), r])
+    Qc, _, infoc = cholesky_qr2(Xc)
+    assert infoc == -1 or bool(is_orthonormal(Qc))
+
+
 def test_qr_pivoted_rank_deficient(key, dtype):
     """Pivoted QR on a built rank-deficient basis
     (reference: TestKrylov.fypp:100-174)."""

@@ -134,6 +134,24 @@ def test_gram_single_allreduce(mesh):
     assert n_ar == 1, f"expected one fused all-reduce, found {n_ar}"
 
 
+def test_cholqr_pass_single_allreduce(mesh):
+    """One CholeskyQR pass = one fused all-reduce on a sharded basis (vs
+    the CGS2 column loop's k sequential reductions)."""
+    from lightkrylov_tpu.krylov.qr import _cholqr_pass, cholesky_qr2
+    from lightkrylov_tpu.krylov import is_orthonormal
+
+    rng = np.random.default_rng(9)
+    X = distribute(jnp.asarray(rng.standard_normal((6, 64, 32))), mesh,
+                   P(None, mesh.axis_names[0], None))
+    hlo = jax.jit(_cholqr_pass).lower(X).compile().as_text()
+    n_ar = _count_allreduce_ops(hlo)
+    assert n_ar == 1, f"expected one fused all-reduce, found {n_ar}"
+    Q, R, info = cholesky_qr2(X)
+    assert info == 0 and bool(is_orthonormal(Q))
+    # Q keeps the row-partitioned sharding of X
+    assert Q.sharding.spec == P(None, mesh.axis_names[0], None)
+
+
 def test_zeros_basis_propagates_sharding(mesh):
     """Krylov buffers of sharded templates are allocated sharded, not
     replicated (memory-critical at 10M DoF)."""
