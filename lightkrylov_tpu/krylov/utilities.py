@@ -63,10 +63,14 @@ def initialize_krylov_subspace(X, seed=None):
 
 
 def initialize_random_orthonormal_basis(key, x_template, k: int):
-    """Random orthonormal k-column basis (reference: utilities.fypp:56-64)."""
+    """Random orthonormal k-column basis (reference: utilities.fypp:56-64).
+
+    A Gaussian basis is well-conditioned with overwhelming probability, so
+    the MXU-friendly CholeskyQR2 path applies; the CGS2 fallback inside
+    :func:`orthonormalize_basis` covers the measure-zero remainder."""
     X = vectors.rand_basis(key, vectors.zeros_basis(x_template, k))
-    Q, _, _ = qr(X, key=jax.random.fold_in(key, 1))
-    return Q
+    return orthonormalize_basis(X, key=jax.random.fold_in(key, 1),
+                                method="cholqr2")
 
 
 def orthonormalize_basis(X, key=None, method: str = "cgs2"):
