@@ -118,8 +118,11 @@ def main():
     on_tpu = backend == "tpu"
     kind = jax.devices()[0].device_kind
 
-    # ~10M DoF on TPU (BASELINE config 5 scale; > VMEM so genuinely
-    # HBM-bound), smaller on CPU.
+    # ~10M DoF on TPU (BASELINE config 5 scale), smaller on CPU.  NOTE: the
+    # 75 MB working set FITS v5e's 128 MB VMEM, so back-to-back matvecs here
+    # run in the VMEM-assisted regime (eff_bw can exceed physical HBM BW —
+    # see benchmarks/PERF.md §2); the genuinely HBM-bound operating point is
+    # characterized separately in the in-solver and 8192² probes.
     n = 3072 if on_tpu else 512
     ny = nx = n
     nnz = 5 * ny * nx - 2 * (nx + ny)  # true stencil nonzeros

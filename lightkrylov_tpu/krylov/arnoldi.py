@@ -21,10 +21,27 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants, vectors
+from ..utils.timer import count_applications, time_lightkrylov, timed_fn
 from .gram_schmidt import double_gram_schmidt_step
 from .qr import qr as _qr
 
 __all__ = ["arnoldi", "arnoldi_step", "initialize_arnoldi"]
+
+
+def _count_steps(A, info, kstart, kend, n_per_step, kind):
+    """Execution-accurate matvec counting for a standalone factorization
+    call (reference brackets arnoldi itself: arnoldi.fypp:18,75).  Costs a
+    host readback of ``info``, so only runs when ``time_lightkrylov()`` is
+    on — free when instrumentation is disabled (same contract as the
+    reference's timing guard)."""
+    if not time_lightkrylov():
+        return
+    try:
+        i, k0, k1 = int(info), int(kstart), int(kend)
+    except Exception:  # traced scalars (called under jit): skip
+        return
+    stop = abs(i) if i != 0 else k1
+    count_applications(A, max(0, stop - k0 + 1) * n_per_step, kind)
 
 
 def initialize_arnoldi(x0, kdim: int):
@@ -62,6 +79,7 @@ def arnoldi_step(A, X, H, k, transpose: bool = False, tol: float = 0.0):
     return X, H, beta
 
 
+@timed_fn("krylov.arnoldi", "BaseKrylov")
 def arnoldi(A, X, H, kstart=1, kend=None, transpose: bool = False, tol: float | None = None):
     """Grow the Arnoldi factorization from ``kstart`` to ``kend``
     (1-based, inclusive, matching the reference's calling convention,
@@ -101,9 +119,12 @@ def arnoldi(A, X, H, kstart=1, kend=None, transpose: bool = False, tol: float | 
     X, H, _, info = jax.lax.while_loop(
         cond, body, (X, H, kstart - 1, jnp.zeros((), jnp.int32))
     )
+    _count_steps(A, info, kstart, kend, 1,
+                 "rmatvec" if transpose else "matvec")
     return X, H, info
 
 
+@timed_fn("krylov.arnoldi_block", "BaseKrylov")
 def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
                   tol: float | None = None, key=None):
     """Block Arnoldi with block size ``p``: at each block step, matvec the
@@ -161,4 +182,12 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
 
     X, H, _, info = jax.lax.while_loop(
         cond, body, (X, H, b0, jnp.zeros((), jnp.int32)))
+    if time_lightkrylov():
+        try:
+            i, blk0, blk1 = int(info), int(b0) + 1, int(b1)
+            stop = -(-abs(i) // p) if i != 0 else blk1  # ceil to block index
+            count_applications(A, max(0, stop - blk0 + 1) * p,
+                               "rmatvec" if transpose else "matvec")
+        except Exception:  # traced scalars: skip
+            pass
     return X, H, info

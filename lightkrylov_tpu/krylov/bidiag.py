@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants, vectors
+from ..utils.timer import count_applications, time_lightkrylov, timed_fn
 from .gram_schmidt import double_gram_schmidt_step
 
 __all__ = ["bidiagonalization", "initialize_bidiag"]
@@ -32,6 +33,7 @@ def initialize_bidiag(u0, v_template, kdim: int):
     return U, V, B
 
 
+@timed_fn("krylov.bidiagonalization", "BaseKrylov")
 def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None):
     """Grow the factorization ``A V_k = U_{k+1} B_k`` from ``kstart`` to
     ``kend`` (1-based inclusive) -> ``(U, V, B, info)``
@@ -88,4 +90,13 @@ def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None)
     U, V, B, _, info = jax.lax.while_loop(
         cond, body, (U, V, B, kstart - 1, jnp.zeros((), jnp.int32))
     )
+    # each step applies one rmatvec AND one matvec (golub_kahan.fypp:26-61)
+    if time_lightkrylov():
+        try:
+            i, k0, k1 = int(info), int(kstart), int(kend)
+            steps = max(0, (abs(i) if i != 0 else k1) - k0 + 1)
+            count_applications(A, steps, "matvec")
+            count_applications(A, steps, "rmatvec")
+        except Exception:  # traced scalars: skip
+            pass
     return U, V, B, info

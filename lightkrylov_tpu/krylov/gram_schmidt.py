@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .. import vectors
+from .. import constants, vectors
 
 __all__ = [
     "orthogonalize_against_basis",
@@ -48,7 +48,7 @@ def orthogonalize_against_basis(y, X):
     return y_orth, proj
 
 
-def double_gram_schmidt_step(y, X):
+def double_gram_schmidt_step(y, X, return_info: bool = False):
     """CGS2: two projection passes, coefficients summed
     (reference: ``double_gram_schmidt_step``, gram_schmidt.fypp:38-49,85-97).
 
@@ -57,8 +57,25 @@ def double_gram_schmidt_step(y, X):
     reduction — the TPU-friendly alternative to modified Gram-Schmidt's k
     sequential dots.
 
-    Returns ``(y_orth, proj)`` with ``proj`` the summed coefficients.
+    Returns ``(y_orth, proj)`` with ``proj`` the summed coefficients.  With
+    ``return_info=True`` a third element is appended: the 1-based index of
+    the first projected column that vanished (norm below the dtype's atol),
+    0 when none did — the reference's zero-vector flag
+    (gram_schmidt.fypp:127,171-173), which covers a zero column *inside* a
+    block projection that single-vector β-checks by callers would miss.
+    The info value is a traced int32 scalar, usable inside jitted loops.
     """
     y1, p1 = orthogonalize_against_basis(y, X)
     y2, p2 = orthogonalize_against_basis(y1, X)
-    return y2, p1 + p2
+    if not return_info:
+        return y2, p1 + p2
+    tol = constants.atol(constants.real_dtype_of(vectors.dtype_of(y2)))
+    if p1.ndim == 1:  # single vector
+        vanished = vectors.norm(y2) < tol
+        info = jnp.where(vanished, 1, 0).astype(jnp.int32)
+    else:  # stacked block: flag the first vanished column
+        norms = jnp.sqrt(jnp.real(jnp.diagonal(vectors.gram(y2))))
+        small = norms < tol
+        first = jnp.argmax(small).astype(jnp.int32)
+        info = jnp.where(jnp.any(small), first + 1, 0).astype(jnp.int32)
+    return y2, p1 + p2, info

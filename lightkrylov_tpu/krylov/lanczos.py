@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants, vectors
+from ..utils.timer import timed_fn
+from .arnoldi import _count_steps
 from .gram_schmidt import double_gram_schmidt_step
 
 __all__ = ["lanczos", "lanczos_step", "initialize_lanczos"]
@@ -49,6 +51,7 @@ def lanczos_step(A, X, T, k, tol: float = 0.0):
     return X, T, beta
 
 
+@timed_fn("krylov.lanczos", "BaseKrylov")
 def lanczos(A, X, T, kstart=1, kend=None, tol: float | None = None):
     """Grow the Lanczos factorization ``A X_k = X_{k+1} T_k`` from
     ``kstart`` to ``kend`` (1-based inclusive).  Returns ``(X, T, info)``
@@ -78,4 +81,5 @@ def lanczos(A, X, T, kstart=1, kend=None, tol: float | None = None):
     X, T, _, info = jax.lax.while_loop(
         cond, body, (X, T, kstart - 1, jnp.zeros((), jnp.int32))
     )
+    _count_steps(A, info, kstart, kend, 1, "matvec")
     return X, T, info

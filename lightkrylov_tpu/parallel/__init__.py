@@ -4,6 +4,7 @@ user-delegated MPI distribution — SURVEY.md §2 parallelism inventory)."""
 
 from .mesh import (
     comm_setup,
+    comm_close,
     make_mesh,
     distribute,
     replicate,
@@ -18,6 +19,7 @@ from .bell import ShardedBellOperator
 __all__ = [
     "ShardedBellOperator",
     "comm_setup",
+    "comm_close",
     "make_mesh",
     "distribute",
     "replicate",

@@ -25,6 +25,7 @@ from ..utils.logger import log_information
 
 __all__ = [
     "comm_setup",
+    "comm_close",
     "make_mesh",
     "distribute",
     "replicate",
@@ -62,6 +63,23 @@ def comm_setup(coordinator_address: str | None = None,
         f"{jax.device_count()} devices ({jax.local_device_count()} local)",
         "parallel", "comm_setup",
     )
+
+
+def comm_close() -> None:
+    """Tear down the multi-process runtime (reference: ``comm_close``,
+    Logger.f90:277-288 — MPI finalize-if-needed).
+
+    Safe to call unconditionally: a no-op when ``jax.distributed`` was never
+    initialized (single-process mode), mirroring the reference's
+    ``mpi_initialized``-guarded finalize.
+    """
+    try:
+        jax.distributed.shutdown()
+    except RuntimeError:
+        # Not initialized — single-process mode, nothing to finalize.
+        pass
+    log_information("comm_close: distributed runtime shut down",
+                    "parallel", "comm_close")
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "i",

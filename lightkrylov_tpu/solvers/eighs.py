@@ -63,8 +63,6 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
         kdim = opts.kdim or 4 * nev
     if x0 is None:
         raise ValueError("eighs requires x0 (a template/seed vector)")
-    if key is None:
-        key = vectors.default_key()
     dt = vectors.dtype_of(x0)
     rdt = constants.real_dtype_of(dt)
     tol = tolerance if tolerance is not None else constants.rtol(rdt)
@@ -72,7 +70,9 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
 
     seed = x0
     if float(vectors.norm(seed)) == 0.0:
-        seed = vectors.rand_like(key, x0)
+        # lazy key creation (axon: avoid PRNG materialization unless needed)
+        seed = vectors.rand_like(key if key is not None
+                                 else vectors.default_key(), x0)
     X, T = initialize_lanczos(seed, kdim)
 
     niter = 0

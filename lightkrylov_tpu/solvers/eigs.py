@@ -92,8 +92,6 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     opts = options or EigsOptions()
     if kdim is None:
         kdim = opts.kdim or 4 * nev  # (reference: :1023)
-    if key is None:
-        key = vectors.default_key()
     if x0 is None:
         raise ValueError("eigs requires x0 (a template/seed vector)")
     dt = vectors.dtype_of(x0)
@@ -108,7 +106,11 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
 
     seed = x0
     if float(vectors.norm(seed)) == 0.0:
-        seed = vectors.rand_like(key, x0)
+        # lazy key creation: the PRNG is only touched on the zero-seed
+        # path, so solves with a real seed never hit the (axon-fragile)
+        # key-materialization path at all
+        seed = vectors.rand_like(key if key is not None
+                                 else vectors.default_key(), x0)
     X, H = initialize_arnoldi(seed, kdim)
 
     kstart = 1

@@ -51,8 +51,6 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
         raise ValueError("svds requires u0 (codomain template/seed vector)")
     if v_template is None:
         v_template = u0  # square operator
-    if key is None:
-        key = vectors.default_key()
     dt = vectors.dtype_of(u0)
     rdt = constants.real_dtype_of(dt)
     tol = tolerance if tolerance is not None else constants.rtol(rdt)
@@ -60,7 +58,9 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
 
     seed = u0
     if float(vectors.norm(seed)) == 0.0:
-        seed = vectors.rand_like(key, u0)
+        # lazy key creation (axon: avoid PRNG materialization unless needed)
+        seed = vectors.rand_like(key if key is not None
+                                 else vectors.default_key(), u0)
     U, V, B = initialize_bidiag(seed, v_template, kdim)
 
     niter = 0

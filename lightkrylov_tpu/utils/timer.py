@@ -33,6 +33,7 @@ __all__ = [
     "timed",
     "timed_fn",
     "matvec_counter",
+    "operator_label",
     "count_applications",
     "reset_counters",
     "get_counter",
@@ -163,7 +164,11 @@ def timed_fn(name: str, group: str = "user"):
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
-            if not _timing_enabled:
+            # Skip instrumentation entirely inside a jit/scan trace: wall
+            # clocks are meaningless there and block_until_ready on tracers
+            # is not (timers bracket *eager* routine calls, like the
+            # reference's start/stop pairs around each library routine).
+            if not _timing_enabled or _tracing():
                 return fn(*args, **kwargs)
             with timed(name, group):
                 out = fn(*args, **kwargs)
@@ -205,6 +210,45 @@ def timed(name: str, group: str = "user"):
 
 _counters: dict[str, int] = defaultdict(int)
 _callback_counting = True
+
+# Per-instance naming (reference counts per-instance on the operator object,
+# AbstractLinops.fypp:34-37): the first instance of a class counted keeps the
+# bare class name; further live instances get a ``#n`` suffix, so two
+# DenseOperators (e.g. A and a dense preconditioner M) no longer merge their
+# counts.  An explicit ``A.label = "..."`` attribute overrides the generated
+# name.  Entries are keyed by ``id`` with a weakref finalizer so collected
+# operators free their slot.
+_instance_names: dict[int, str] = {}
+_class_counts: dict[str, int] = defaultdict(int)
+
+
+def operator_label(A) -> str:
+    """Stable per-instance counter key for operator ``A``."""
+    import weakref
+
+    lbl = getattr(A, "label", None)
+    if lbl:
+        return str(lbl)
+    key = id(A)
+    name = _instance_names.get(key)
+    if name is None:
+        base = type(A).__name__
+        seq = _class_counts[base]
+        _class_counts[base] += 1
+        name = base if seq == 0 else f"{base}#{seq}"
+        _instance_names[key] = name
+
+        def _drop(key=key, name=name):
+            # only drop if the slot still belongs to this instance (ids are
+            # reused after GC, and reset_counters may have re-assigned it)
+            if _instance_names.get(key) == name:
+                _instance_names.pop(key, None)
+
+        try:
+            weakref.finalize(A, _drop)
+        except TypeError:  # non-weakref-able object: entry persists
+            pass
+    return name
 
 
 def set_callback_counting(enabled: bool) -> None:
@@ -260,13 +304,19 @@ def count_applications(A, n: int, kind: str = "matvec") -> None:
     (axon) and would serialize the device stream elsewhere.  Instead every
     solver *knows* how many applications its jitted sweep executed (from
     its returned iteration counts) and records them here eagerly — counts
-    are execution-accurate, keyed by operator class name."""
+    are execution-accurate, keyed per operator *instance* (first instance
+    of a class keeps the bare class name; set ``A.label`` to override)."""
     if n:
-        _counters[f"{type(A).__name__}.{kind}"] += int(n)
+        _counters[f"{operator_label(A)}.{kind}"] += int(n)
 
 
 def reset_counters() -> None:
+    """Clear all counters AND the per-instance naming epoch, so the first
+    instance of each class counted after a reset gets the bare class name
+    again (mirrors the reference's hard timer reset)."""
     _counters.clear()
+    _instance_names.clear()
+    _class_counts.clear()
 
 
 def get_counter(name: str) -> int:

@@ -143,8 +143,17 @@ def default_key(seed: int = 0):
     also been observed to fail — both UNIMPLEMENTED on the axon TPU
     plugin.  Under ``jit`` the seed folds into the compiled executable and
     the key materializes directly on device, touching neither path.
+
+    Even the jitted path has failed once on a flaky relay (round 3), so on
+    failure fall back to the raw threefry2x32 key layout built host-side —
+    ``jax.random`` accepts raw ``(2,) uint32`` keys directly.  Callers that
+    don't actually need randomness should avoid calling this at all
+    (solver keys are created lazily, only on the zero-seed path).
     """
-    return _prng_key_jit(int(seed))
+    try:
+        return _prng_key_jit(int(seed))
+    except Exception:
+        return jnp.asarray(np.array([0, seed], np.uint32))
 
 
 @partial(jax.jit, static_argnames=("ifnorm",))

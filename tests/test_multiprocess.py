@@ -16,6 +16,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_mp_child.py")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -26,8 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh():
-    port = _free_port()
+def _run_children(port: int):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH",
                         "JAX_NUM_CPU_DEVICES")}
@@ -45,6 +46,17 @@ def test_two_process_mesh():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_mesh():
+    procs, outs = _run_children(_free_port())
+    if any(p.returncode != 0 for p in procs) and \
+            any("initialize" in o or "bind" in o for o in outs):
+        # _free_port closes the socket before the coordinator rebinds it —
+        # a rare reuse race; retry once on a fresh port (ADVICE r2).
+        procs, outs = _run_children(_free_port())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert "ALL-OK" in out, f"process {pid} incomplete:\n{out}"
