@@ -130,3 +130,21 @@ def test_native_assembler_timing_smoke():
     assert dt < 5.0
     assert K == K_true
     assert data.shape[0] == nbr
+
+
+def test_stencil_2d_grid_kernel_parity():
+    """x-tiled (2D-grid) stencil kernel == XLA stencil, across uneven
+    shapes and tiles (VERDICT r2 item 2a: VMEM window width decoupled from
+    nx so very wide grids compile)."""
+    from lightkrylov_tpu.models import Poisson2D
+    from lightkrylov_tpu.ops.pallas import PallasPoisson2D
+
+    rng = np.random.default_rng(7)
+    for (ny, nx, ty, tx) in [(64, 256, 16, 128), (100, 300, 32, 128),
+                             (200, 520, 48, 256)]:
+        u = jnp.asarray(rng.standard_normal((ny, nx)).astype(np.float32))
+        p2 = PallasPoisson2D(nx, ny, dtype=jnp.float32, tile=ty, tile_x=tx,
+                             interpret=True)
+        xla = Poisson2D(nx, ny, dtype=jnp.float32)
+        a, b = np.asarray(p2.matvec(u)), np.asarray(xla.matvec(u))
+        assert np.linalg.norm(a - b) < 1e-6 * np.linalg.norm(b)
