@@ -68,7 +68,8 @@ def arnoldi_step(A, X, H, k, transpose: bool = False, tol: float = 0.0):
     dt = vectors.dtype_of(X)
     xk = vectors.get_column(X, k)
     v = A.rmatvec(xk) if transpose else A.matvec(xk)
-    v, proj = double_gram_schmidt_step(v, X)
+    # active-prefix CGS2: columns 0..k are filled
+    v, proj = double_gram_schmidt_step(v, X, k=k + 1)
     beta = vectors.norm(v)
     ok = beta > tol
     inv = jnp.where(ok, 1.0 / jnp.where(beta == 0, 1.0, beta), 0.0)
@@ -160,8 +161,8 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
         blk_in = jax.tree.map(
             lambda l: jax.lax.dynamic_slice_in_dim(l, b * p, p, axis=0), X)
         blk = A.rmatvec_basis(blk_in) if transpose else A.matvec_basis(blk_in)
-        # CGS2 against every previous column (unfilled columns are zero)
-        blk, proj = double_gram_schmidt_step(blk, X)
+        # active-prefix CGS2 against the (b+1)*p filled columns
+        blk, proj = double_gram_schmidt_step(blk, X, k=(b + 1) * p)
         H = jax.lax.dynamic_update_slice(H, proj.astype(dt),
                                          (jnp.int32(0), b * p))
         # intra-block QR

@@ -57,7 +57,7 @@ def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None)
         # v_k = A^H u_k, re-orthogonalized against V[:, :k]
         uk = vectors.get_column(U, k)
         v = A.rmatvec(uk)
-        v, _ = double_gram_schmidt_step(v, V)
+        v, _ = double_gram_schmidt_step(v, V, k=k)  # V has k filled columns
         alpha = vectors.norm(v)
         ok_a = alpha > tol
         inva = jnp.where(ok_a, 1.0 / jnp.where(alpha == 0, 1.0, alpha), 0.0)
@@ -71,7 +71,7 @@ def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None)
         # factorization carries couplings to the compressed columns, and
         # storing the complete projections keeps ``A V = U B`` exact.
         u = A.matvec(v)
-        u, proj_u = double_gram_schmidt_step(u, U)
+        u, proj_u = double_gram_schmidt_step(u, U, k=k + 1)
         beta = vectors.norm(u)
         ok_b = ok_a & (beta > tol)
         invb = jnp.where(ok_b, 1.0 / jnp.where(beta == 0, 1.0, beta), 0.0)

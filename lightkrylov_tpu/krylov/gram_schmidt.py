@@ -28,27 +28,41 @@ __all__ = [
     "double_gram_schmidt_step",
 ]
 
+#: Chunk width for active-prefix projections (see
+#: :func:`vectors.innerprod_prefix`): callers that pass the filled column
+#: count ``k`` read only ~k (not kdim) columns per CGS pass.  Set to None to
+#: restore full-buffer reads — one fused all-reduce per pass instead of one
+#: per live chunk, the better trade on latency-bound multi-host meshes.
+DEFAULT_CHUNK: int | None = 8
 
-def orthogonalize_against_basis(y, X):
+
+def orthogonalize_against_basis(y, X, k=None, chunk=None):
     """Single CGS pass: project ``y`` (vector or stacked block) against the
     basis buffer ``X`` and subtract.
 
     Returns ``(y_orth, proj)`` where ``proj = X^H y`` has shape ``(m,)`` for a
     vector or ``(m, p)`` for a block (reference:
     gram_schmidt.fypp:141-146,187-192).
+
+    ``k`` (optional, may be traced): number of filled buffer columns; when
+    given, only basis chunks intersecting ``[0, k)`` are streamed from HBM
+    (exact by the zero-column buffer invariant) — the reference's
+    ``X(:k)`` growing projection without dynamic shapes.
     """
-    proj = vectors.innerprod(X, y)
-    if proj.ndim == 1:
+    if k is None:
+        proj = vectors.innerprod(X, y)
         correction = vectors.linear_combination(X, proj)
     else:
-        # block: proj is (m, p); linear_combination wants (m, p) -> basis p
-        correction = vectors.linear_combination(X, proj)
+        chunk = DEFAULT_CHUNK if chunk is None else chunk
+        proj = vectors.innerprod_prefix(X, y, k, chunk)
+        correction = vectors.linear_combination_prefix(X, proj, k, chunk)
     y_orth = vectors.axpby(1.0, y, -1.0, correction) if proj.ndim == 1 else \
         vectors.axpby_basis(1.0, y, -1.0, correction)
     return y_orth, proj
 
 
-def double_gram_schmidt_step(y, X, return_info: bool = False):
+def double_gram_schmidt_step(y, X, return_info: bool = False, k=None,
+                             chunk=None):
     """CGS2: two projection passes, coefficients summed
     (reference: ``double_gram_schmidt_step``, gram_schmidt.fypp:38-49,85-97).
 
@@ -64,9 +78,12 @@ def double_gram_schmidt_step(y, X, return_info: bool = False):
     (gram_schmidt.fypp:127,171-173), which covers a zero column *inside* a
     block projection that single-vector β-checks by callers would miss.
     The info value is a traced int32 scalar, usable inside jitted loops.
+
+    ``k``/``chunk``: active-prefix projection — see
+    :func:`orthogonalize_against_basis`.
     """
-    y1, p1 = orthogonalize_against_basis(y, X)
-    y2, p2 = orthogonalize_against_basis(y1, X)
+    y1, p1 = orthogonalize_against_basis(y, X, k=k, chunk=chunk)
+    y2, p2 = orthogonalize_against_basis(y1, X, k=k, chunk=chunk)
     if not return_info:
         return y2, p1 + p2
     tol = constants.atol(constants.real_dtype_of(vectors.dtype_of(y2)))

@@ -40,7 +40,8 @@ def lanczos_step(A, X, T, k, tol: float = 0.0):
     v = A.matvec(xk)
     # Full re-orthogonalization subsumes the 3-term recurrence; the CGS2
     # coefficients give alpha = proj[k] (and beta_{k-1} = proj[k-1]).
-    v, proj = double_gram_schmidt_step(v, X)
+    # Active-prefix reads: columns 0..k are filled.
+    v, proj = double_gram_schmidt_step(v, X, k=k + 1)
     beta = vectors.norm(v)
     ok = beta > tol
     inv = jnp.where(ok, 1.0 / jnp.where(beta == 0, 1.0, beta), 0.0)

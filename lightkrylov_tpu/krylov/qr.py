@@ -126,8 +126,9 @@ def qr(X, tol: float | None = None, key=None):
     def body(j, carry):
         Q, R, info = carry
         xj = vectors.get_column(X, j)
-        # project against the j processed columns (cols >= j are zero)
-        v, proj = double_gram_schmidt_step(xj, Q)
+        # project against the j processed columns (cols >= j are zero),
+        # streaming only the live chunks (active-prefix CGS2)
+        v, proj = double_gram_schmidt_step(xj, Q, k=j)
         beta = vectors.norm(v)
         broke = beta < tol
 
@@ -139,7 +140,7 @@ def qr(X, tol: float | None = None, key=None):
         # qr.fypp:146-160; VERDICT r2 weak #4).
         def _repair(_):
             rj = vectors.get_column(repl, j)
-            r_orth, _ = double_gram_schmidt_step(rj, Q)
+            r_orth, _ = double_gram_schmidt_step(rj, Q, k=j)
             rnorm = vectors.norm(r_orth)
             return vectors.scal(
                 jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth)
@@ -210,14 +211,14 @@ def qr_pivoted(X, tol: float | None = None, key=None):
         W, R, Rii, perm = swap_cols(W, R, Rii, perm, j, piv)
 
         wj = vectors.get_column(W, j)
-        v, proj = double_gram_schmidt_step(wj, Q)
+        v, proj = double_gram_schmidt_step(wj, Q, k=j)
         beta = vectors.norm(v)
         broke = beta**2 < tol
 
         # Repair projection only on the taken branch (see qr() above).
         def _repair(_):
             rj = vectors.get_column(repl, j)
-            r_orth, _ = double_gram_schmidt_step(rj, Q)
+            r_orth, _ = double_gram_schmidt_step(rj, Q, k=j)
             rnorm = vectors.norm(r_orth)
             return vectors.scal(
                 jnp.where(rnorm > 0, 1.0 / rnorm, 0.0).astype(rdt), r_orth)

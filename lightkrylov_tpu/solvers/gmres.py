@@ -65,8 +65,10 @@ def _gmres_impl(A, b, x0, M, tol, kdim, maxiter, transpose, flexible, sanity_che
         if flexible:
             Z = vectors.set_column(Z, k, z)
         w = matvec(z)
-        # CGS2 against the whole buffer (unfilled columns are zero)
-        w, proj = double_gram_schmidt_step(w, V)
+        # CGS2 with active-prefix reads: columns 0..k are filled, so only
+        # chunks intersecting [0, k+1) stream from HBM (exact by the
+        # zero-column buffer invariant)
+        w, proj = double_gram_schmidt_step(w, V, k=k + 1)
         beta = vectors.norm(w)
         h_col = proj.astype(dt).at[k + 1].set(beta.astype(dt))
         safe = jnp.where(beta == 0, 1.0, beta)

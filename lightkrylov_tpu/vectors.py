@@ -289,6 +289,69 @@ def gram(X):
     return innerprod(X, X)
 
 
+def _chunk_of(X, lo, hi):
+    return jax.tree.map(lambda l: l[lo:hi], X)
+
+
+def innerprod_prefix(X, y, k, chunk: int = 8):
+    """``innerprod(X, y)`` reading only the chunks that intersect the
+    filled prefix ``[0, k)`` of the stacked buffer.
+
+    Exactness relies on the buffer invariant (unfilled columns are exactly
+    zero): a skipped chunk's contribution is zero, so the result equals
+    ``innerprod(X, y)`` while chunks entirely beyond ``k`` are behind an
+    HLO conditional whose untaken branch never touches HBM.  Inside a
+    GMRES/Arnoldi sweep this cuts the dominant CGS2 streaming cost from
+    ``O(kdim)`` to ``O(k)`` columns per iteration — the dynamic-shape-free
+    TPU answer to the reference's growing-basis projections
+    (gram_schmidt.fypp:141-146 projects against ``X(:k)``).
+
+    ``k`` may be a traced scalar.  On a sharded mesh each live chunk
+    carries its own (small) all-reduce — set ``chunk=None`` in
+    :mod:`gram_schmidt` to restore the single fused all-reduce per pass.
+    """
+    m = basis_size(X)
+    if chunk is None or chunk >= m:
+        return innerprod(X, y)
+    k = jnp.asarray(k, jnp.int32)
+    parts = []
+    for lo in range(0, m, chunk):
+        hi = min(m, lo + chunk)
+        Xc = _chunk_of(X, lo, hi)
+        shape = jax.eval_shape(innerprod, Xc, y)
+        parts.append(jax.lax.cond(
+            lo < k,
+            lambda op: innerprod(*op),
+            lambda op: jnp.zeros(shape.shape, shape.dtype),
+            (Xc, y)))
+    return jnp.concatenate(parts, axis=0)
+
+
+def linear_combination_prefix(X, v, k, chunk: int = 8):
+    """``linear_combination(X, v)`` reading only chunks intersecting the
+    filled prefix ``[0, k)`` (see :func:`innerprod_prefix`; requires the
+    matching coefficients beyond the live chunks to be zero, which holds
+    for projections computed by :func:`innerprod_prefix`)."""
+    m = basis_size(X)
+    if chunk is None or chunk >= m:
+        return linear_combination(X, v)
+    k = jnp.asarray(k, jnp.int32)
+    acc = None
+    for lo in range(0, m, chunk):
+        hi = min(m, lo + chunk)
+        Xc = _chunk_of(X, lo, hi)
+        vc = v[lo:hi]
+        shapes = jax.eval_shape(linear_combination, Xc, vc)
+        part = jax.lax.cond(
+            lo < k,
+            lambda op: linear_combination(*op),
+            lambda op: jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes),
+            (Xc, vc))
+        acc = part if acc is None else add(acc, part)
+    return acc
+
+
 def linear_combination(X, v):
     """``X v`` for a coefficient vector (k,) or matrix (k, m).
 

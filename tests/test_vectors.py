@@ -80,3 +80,59 @@ def test_stack_unstack_roundtrip(key, dtype):
 
 def test_get_size(dtype):
     assert lk.get_size(_template(dtype, True)) == N + 32
+
+
+def test_innerprod_prefix_exactness(key, dtype):
+    """Active-prefix chunked projections == full-buffer projections for
+    every fill count k, on buffers honoring the zero-column invariant
+    (the exactness contract of vectors.innerprod_prefix)."""
+    rng = np.random.default_rng(3)
+    m, n = 11, 40
+
+    def draw(shape):
+        a = rng.standard_normal(shape)
+        if np.issubdtype(np.dtype(dtype), np.complexfloating):
+            a = a + 1j * rng.standard_normal(shape)
+        return jnp.asarray(a.astype(dtype))
+
+    y = draw((n,))
+    for k in (0, 1, 3, 8, 11):
+        X_np = np.zeros((m, n), dtype)
+        X_np[:k] = np.asarray(draw((k, n)))
+        X = jnp.asarray(X_np)
+        full = vectors.innerprod(X, y)
+        pre = vectors.innerprod_prefix(X, y, k, chunk=4)
+        assert np.allclose(np.asarray(pre), np.asarray(full), atol=1e-6)
+        corr_full = vectors.linear_combination(X, full)
+        corr_pre = vectors.linear_combination_prefix(X, pre, k, chunk=4)
+        assert np.allclose(np.asarray(corr_pre), np.asarray(corr_full),
+                           atol=1e-5)
+    # traced k inside jit
+    import jax
+
+    @jax.jit
+    def f(X, y, k):
+        return vectors.innerprod_prefix(X, y, k, chunk=4)
+
+    X_np = np.zeros((m, n), dtype)
+    X_np[:5] = np.asarray(draw((5, n)))
+    X = jnp.asarray(X_np)
+    assert np.allclose(np.asarray(f(X, y, jnp.int32(5))),
+                       np.asarray(vectors.innerprod(X, y)), atol=1e-6)
+
+
+def test_prefix_projection_block_case(key):
+    """Prefix projections for stacked blocks (block Arnoldi path)."""
+    rng = np.random.default_rng(4)
+    m, n, p = 9, 32, 3
+    X_np = np.zeros((m, n), np.float64)
+    X_np[:6] = rng.standard_normal((6, n))
+    X = jnp.asarray(X_np)
+    Y = jnp.asarray(rng.standard_normal((p, n)))
+    full = vectors.innerprod(X, Y)
+    pre = vectors.innerprod_prefix(X, Y, 6, chunk=4)
+    assert np.allclose(np.asarray(pre), np.asarray(full))
+    cf = vectors.linear_combination(X, full)
+    cp = vectors.linear_combination_prefix(X, pre, 6, chunk=4)
+    for a, b in zip(jax.tree_util.tree_leaves(cp), jax.tree_util.tree_leaves(cf)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
