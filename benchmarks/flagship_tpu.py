@@ -1,11 +1,18 @@
 """Flagship BASELINE configs on the real TPU chip (VERDICT r1 item 5).
 
 Runs, in ONE process (relay startup is expensive):
-  1. Ginzburg-Landau eigs at nx=512, tau=0.01, nev=8, kdim=16 in c64 —
-     the reference's flagship example config
-     (example/ginzburg_landau/main.f90:20-27,68) — validated against the
-     committed f64 CPU spectrum (gl_direct_spectrum.npy, matched to the
-     reference anchors in round 1) and the analytic branch spectrum.
+  1. Ginzburg-Landau eigs at nx=512, tau=0.01, nev=8, kdim=16 — the
+     reference's flagship example config
+     (example/ginzburg_landau/main.f90:20-27,68) — via the REALIFIED
+     operator (GinzburgLandauReal, f32, nev/kdim doubled because the
+     realified spectrum carries each complex eigenvalue with its
+     conjugate).  The axon TPU runtime cannot compile ANY computation with
+     complex buffers (probe "axon_complex" in results_tpu.json: eager,
+     jitted, complex-carry loops and real->complex outputs all
+     UNIMPLEMENTED), so c64 is impossible on this chip in any formulation;
+     realification is exact (R(A) spectrum = spec(A) U conj(spec(A))) and
+     costs the same FLOPs.  Validated against the committed f64 CPU
+     spectrum (gl_direct_spectrum.npy) and the analytic branch spectrum.
   2. Roessler UPO Newton-Krylov shooting in f32 (config 5; reference seed
      example/roessler/main.f90:87-88, T* = 5.88108845).
   3. PCG on Poisson 128^2 with block-Jacobi (config 1).
@@ -13,8 +20,8 @@ Runs, in ONE process (relay startup is expensive):
      operator — the single-chip baseline for future weak-scaling runs.
 
 Appends one JSON line to benchmarks/results_tpu.json.  No f64 on TPU: runs
-use f32/c64 and record the achieved accuracy against the f64 anchors — the
-f32/c64 floor is the documented gap to BASELINE's 1e-10 (BASELINE.md note).
+use f32 and record the achieved accuracy against the f64 anchors — the
+f32 floor is the documented gap to BASELINE's 1e-10 (BASELINE.md note).
 """
 
 import json
@@ -39,7 +46,7 @@ def main():
 
     import lightkrylov_tpu as lk
     from lightkrylov_tpu.models import (
-        GinzburgLandau, GLPropagator, gl_analytic_eigvals,
+        GinzburgLandauReal, GLPropagator, gl_analytic_eigvals,
         Poisson2D, BlockJacobiPoisson, upo_system, flow)
     from lightkrylov_tpu.utils.options import CGOptions
 
@@ -51,33 +58,36 @@ def main():
     assert abs(float(jax.device_get(jnp.sum(a @ a))) - 1024.0**3) < 1e6
     log("health gate ok")
 
-    # ---- 1. GL eigs nx=512, tau=0.01, nev=8, kdim=16 (c64) ----------------
+    # ---- 1. GL eigs nx=512, tau=0.01, nev=8(x2), kdim=16(x2), realified ---
     nx, tau, nev, kdim = 512, 0.01, 8, 16
-    gl = GinzburgLandau(nx=nx, dtype=jnp.complex64)
+    gl = GinzburgLandauReal(nx=nx, dtype=jnp.float32)
     prop = GLPropagator(gl, tau=tau, n_steps=10)
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray((rng.standard_normal(nx)
-                      + 1j * rng.standard_normal(nx)).astype(np.complex64))
+    x0 = jnp.asarray(rng.standard_normal((2, nx)).astype(np.float32))
     t0 = time.time()
     evals, evecs, resid, info, meta = lk.eigs(
-        prop, nev, x0=x0, kdim=kdim, tolerance=1e-6,
+        prop, 2 * nev, x0=x0, kdim=2 * kdim, tolerance=1e-6,
         options=lk.EigsOptions(maxiter=200))
     t_gl = time.time() - t0
     # map propagator eigenvalues to generator eigenvalues: log(mu)/tau
     lam_A = np.log(np.asarray(evals).astype(np.complex128)) / tau
     ref = np.load("/root/repo/gl_direct_spectrum.npy")
     lam_ref = ref[:, 0] + 1j * ref[:, 1]
-    err_ref = max(np.min(np.abs(l - lam_ref)) for l in lam_A)
+    # realified spectrum = ref U conj(ref)
+    lam_both = np.concatenate([lam_ref, np.conj(lam_ref)])
+    err_ref = max(np.min(np.abs(l - lam_both)) for l in lam_A)
     ana = gl_analytic_eigvals(nev)
-    err_ana = max(np.min(np.abs(l - ana)) for l in lam_A[: len(ana)])
-    log(f"GL eigs nx=512 c64: info={info} {t_gl:.0f}s; max dev vs f64 CPU "
-        f"spectrum {err_ref:.2e}, vs analytic branch {err_ana:.2e}")
+    ana_both = np.concatenate([ana, np.conj(ana)])
+    err_ana = max(np.min(np.abs(l - ana_both)) for l in lam_A)
+    log(f"GL eigs nx=512 realified f32: info={info} {t_gl:.0f}s; max dev vs "
+        f"f64 CPU spectrum {err_ref:.2e}, vs analytic branch {err_ana:.2e}")
     res["gl512"] = {"info": int(info), "seconds": round(t_gl, 1),
+                    "formulation": "realified-f32",
                     "max_dev_vs_f64_spectrum": float(err_ref),
                     "max_dev_vs_analytic": float(err_ana),
                     "eigvals_re": [float(l.real) for l in lam_A],
                     "eigvals_im": [float(l.imag) for l in lam_A]}
-    assert err_ref < 5e-3, "GL spectrum off the f64 anchors beyond c64 floor"
+    assert err_ref < 5e-3, "GL spectrum off the f64 anchors beyond f32 floor"
 
     # ---- 2. Roessler UPO shooting (f32) -----------------------------------
     sys_ = upo_system(n_steps=3000)

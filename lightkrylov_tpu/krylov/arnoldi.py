@@ -44,10 +44,13 @@ def _count_steps(A, info, kstart, kend, n_per_step, kind):
     count_applications(A, max(0, stop - k0 + 1) * n_per_step, kind)
 
 
+@partial(jax.jit, static_argnames=("kdim",))
 def initialize_arnoldi(x0, kdim: int):
     """Allocate the (kdim+1)-column basis buffer and (kdim+1, kdim)
     Hessenberg, seeding column 0 with normalized ``x0`` (reference:
-    ``initialize_krylov_subspace``, utilities.fypp:34-48)."""
+    ``initialize_krylov_subspace``, utilities.fypp:34-48).
+
+    Jitted (eager complex ops are UNIMPLEMENTED on axon)."""
     dt = vectors.dtype_of(x0)
     X = vectors.zeros_basis(x0, kdim + 1)
     x0n = vectors.scal(1.0 / vectors.norm(x0), x0)

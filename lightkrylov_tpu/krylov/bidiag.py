@@ -12,6 +12,8 @@ Supports rectangular operators: ``U`` lives in the codomain of ``A`` and
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -22,9 +24,11 @@ from .gram_schmidt import double_gram_schmidt_step
 __all__ = ["bidiagonalization", "initialize_bidiag"]
 
 
+@partial(jax.jit, static_argnames=("kdim",))
 def initialize_bidiag(u0, v_template, kdim: int):
     """Buffers: U with kdim+1 columns (codomain), V with kdim columns
-    (domain), B of shape (kdim+1, kdim)."""
+    (domain), B of shape (kdim+1, kdim).
+    Jitted (eager complex ops are UNIMPLEMENTED on axon)."""
     dt = vectors.dtype_of(u0)
     U = vectors.zeros_basis(u0, kdim + 1)
     U = vectors.set_column(U, 0, vectors.scal(1.0 / vectors.norm(u0), u0))

@@ -68,7 +68,7 @@ def krylov_schur(X, H, select=None):
     Tn, Zn, n = linalg.schur_select(Hk, select)  # eager host LAPACK
     # Degenerate selections would stall the restart loop: clamp to [1, kdim-1].
     n = max(1, min(n, kdim - 1))
-    beta = np.asarray(jax.device_get(H[kdim, kdim - 1]))
+    beta = linalg.to_host(H[kdim, kdim - 1])  # axon-safe complex D2H
 
     # Host-side k x k assembly of the new extended Hessenberg.
     H_new = np.zeros(H.shape, dtype=Tn.dtype)

@@ -12,6 +12,8 @@ Same buffer discipline as :mod:`arnoldi`: jitted ``while_loop``, dynamic
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -23,8 +25,10 @@ from .gram_schmidt import double_gram_schmidt_step
 __all__ = ["lanczos", "lanczos_step", "initialize_lanczos"]
 
 
+@partial(jax.jit, static_argnames=("kdim",))
 def initialize_lanczos(x0, kdim: int):
-    """Buffers: (kdim+1)-column basis + (kdim+1, kdim) real tridiagonal T."""
+    """Buffers: (kdim+1)-column basis + (kdim+1, kdim) real tridiagonal T.
+    Jitted (eager complex ops are UNIMPLEMENTED on axon)."""
     dt = vectors.dtype_of(x0)
     X = vectors.zeros_basis(x0, kdim + 1)
     X = vectors.set_column(X, 0, vectors.scal(1.0 / vectors.norm(x0), x0))

@@ -6,7 +6,8 @@ fixed-point/UPO systems)."""
 from .toeplitz import TridiagToeplitz, toeplitz_eigvals
 from .poisson import Poisson2D, poisson2d_eigvals, BlockJacobiPoisson
 from .convdiff import ConvectionDiffusion2D
-from .ginzburg_landau import GinzburgLandau, GLPropagator, gl_analytic_eigvals
+from .ginzburg_landau import (GinzburgLandau, GinzburgLandauReal,
+                              GLPropagator, gl_analytic_eigvals)
 from .otd import otd_evolve, otd_rhs, lyapunov_exponents
 from .roessler import (
     roessler_rhs,
@@ -27,6 +28,7 @@ __all__ = [
     "BlockJacobiPoisson",
     "ConvectionDiffusion2D",
     "GinzburgLandau",
+    "GinzburgLandauReal",
     "GLPropagator",
     "gl_analytic_eigvals",
     "roessler_rhs",

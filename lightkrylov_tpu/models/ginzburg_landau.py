@@ -29,8 +29,8 @@ import numpy as np
 
 from ..linops import LinearOperator
 
-__all__ = ["GinzburgLandau", "GLPropagator", "gl_analytic_eigvals",
-           "NU", "GAMMA", "MU0", "C_MU", "MU2"]
+__all__ = ["GinzburgLandau", "GinzburgLandauReal", "GLPropagator",
+           "gl_analytic_eigvals", "NU", "GAMMA", "MU0", "C_MU", "MU2"]
 
 NU = 2.0 + 0.2j
 GAMMA = 1.0 - 1.0j
@@ -95,6 +95,83 @@ class GinzburgLandau(LinearOperator):
             if i < n - 1:
                 A[i, i + 1] = -NU / (2 * dx) + GAMMA / dx**2
         return A
+
+
+class GinzburgLandauReal(LinearOperator):
+    """REALIFIED linearized CGL operator: the complex state ``u = a + ib``
+    is carried as a real ``(2, nx)`` array ``[a; b]`` and the complex
+    coefficients are expanded into real arithmetic, so the entire Krylov
+    solve runs in f32 with no complex dtype anywhere on the wire.
+
+    Rationale: the axon TPU runtime used for single-chip benchmarking
+    cannot compile ANY computation involving complex buffers (probed
+    exhaustively in round 3 — eager, jitted, complex-carry while_loops and
+    real->complex jit outputs all return UNIMPLEMENTED; see
+    ``results_tpu.json`` probe "axon_complex").  Realification is the
+    TPU-native answer, and costs nothing: a complex multiply IS four real
+    multiplies on any hardware, and XLA fuses the expanded form identically.
+    The realified operator ``R(A) = [[Ar, -Ai], [Ai, Ar]]`` has spectrum
+    ``{lambda} ∪ {conj(lambda)}`` — each complex eigenvalue of ``A``
+    appears with its conjugate, so ``nev`` complex pairs are requested as
+    ``2 nev`` real-operator Ritz values.
+
+    Same grid/parameters as :class:`GinzburgLandau`
+    (reference: example/ginzburg_landau/Ginzburg_Landau.f90:24-33,96-97,
+    rhs :127-137).  ``rmatvec`` is the autodiff transpose, which for the
+    real form equals the realified complex adjoint ``R(A^H)``.
+    """
+
+    _children = ("mu",)
+    _static = ("nx", "L", "dtype_")
+
+    def __init__(self, nx: int = 512, L: float = 200.0, dtype=jnp.float32):
+        self.nx = nx
+        self.L = float(L)
+        self.dtype_ = np.dtype(dtype)
+        x = np.linspace(-L / 2, L / 2, nx + 2)[1:-1]
+        mu = (MU0 - C_MU**2) + (MU2 / 2.0) * x**2
+        self.mu = jnp.asarray(mu, self.dtype_)
+
+    @property
+    def dx(self):
+        return self.L / (self.nx + 1)
+
+    def template(self):
+        return jnp.zeros((2, self.nx), self.dtype_)
+
+    def matvec(self, u):
+        """Realified rhs: rows ``u[0] = Re``, ``u[1] = Im``."""
+        a, b = u[0], u[1]
+        dx = self.dx
+        nur, nui = float(NU.real), float(NU.imag)
+        gr, gi = float(GAMMA.real), float(GAMMA.imag)
+
+        def shifts(f):
+            fm = jnp.concatenate([jnp.zeros_like(f[:1]), f[:-1]])
+            fp = jnp.concatenate([f[1:], jnp.zeros_like(f[:1])])
+            return fm, fp
+
+        am, ap = shifts(a)
+        bm, bp = shifts(b)
+        ax = (ap - am) / (2.0 * dx)
+        bx = (bp - bm) / (2.0 * dx)
+        axx = (ap - 2.0 * a + am) / dx**2
+        bxx = (bp - 2.0 * b + bm) / dx**2
+        # -nu*u_x + gamma*u_xx + mu*u, expanded over (re, im)
+        re = -(nur * ax - nui * bx) + (gr * axx - gi * bxx) + self.mu * a
+        im = -(nui * ax + nur * bx) + (gi * axx + gr * bxx) + self.mu * b
+        return jnp.stack([re, im])
+
+    def dense(self):
+        """Real 2nx x 2nx dense form (for small-nx oracles)."""
+        Ac = GinzburgLandau(self.nx, self.L, dtype=np.complex128).dense()
+        n = self.nx
+        R = np.zeros((2 * n, 2 * n))
+        R[:n, :n] = Ac.real
+        R[:n, n:] = -Ac.imag
+        R[n:, :n] = Ac.imag
+        R[n:, n:] = Ac.real
+        return R
 
 
 def gl_analytic_eigvals(n_modes: int = 8):

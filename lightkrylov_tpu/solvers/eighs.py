@@ -30,6 +30,7 @@ from .. import constants, vectors
 from ..krylov.lanczos import initialize_lanczos, lanczos
 from ..linops import aslinop
 from .eigs import _reconstruct
+from ..utils import linalg
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
 from ..utils.timer import count_applications, timed_fn
@@ -91,7 +92,7 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
             count_applications(A, max(k_eff - (k - 1), 0), "matvec")
             niter += k_eff - (k - 1)
 
-            Th = np.asarray(jax.device_get(T))
+            Th = linalg.to_host(T)  # axon-safe complex D2H
             Tk = Th[:k_eff, :k_eff]
             Tk = (Tk + Tk.conj().T) / 2  # CGS2 fills tiny asymmetric noise
             w, V = np.linalg.eigh(Tk)
@@ -117,7 +118,7 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
             Vk[:, :n] = evecs[:, :n]
             diag_w = np.zeros(kdim, dtype=np.dtype(dt))
             diag_w[:n] = evals[:n]
-            beta = np.asarray(jax.device_get(T[kdim, kdim - 1]))
+            beta = linalg.to_host(T[kdim, kdim - 1])
             coupling = np.zeros(kdim, dtype=np.dtype(dt))
             coupling[:n] = beta * evecs[kdim - 1, :n]
             Xc, T_new, coup = _thick_restart_compress(
@@ -143,7 +144,7 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
     nev_out = min(nev, len(evals))
     coeffs = np.zeros((kdim, nev_out), dtype=np.dtype(dt))
     coeffs[:k_final, :] = evecs[:, :nev_out]
-    X_lead = jax.tree.map(lambda l: l[:kdim], X)
+    X_lead = vectors.lead(X, kdim)  # jitted (axon: no eager complex slice)
     ritz_vecs = _reconstruct(X_lead, coeffs)
 
     info = n_conv if converged else -n_conv

@@ -63,7 +63,15 @@ def _reconstruct(X_lead, coeffs):
         rdt = jax.tree_util.tree_leaves(X_lead)[0].dtype
         re = _reconstruct_jit(X_lead, jnp.asarray(coeffs.real.astype(rdt)))
         im = _reconstruct_jit(X_lead, jnp.asarray(coeffs.imag.astype(rdt)))
-        return jax.tree.map(jax.lax.complex, re, im)
+        try:
+            return jax.tree.map(jax.lax.complex, re, im)
+        except Exception:
+            # axon: NO complex op compiles on-device (probe "axon_complex"),
+            # so assemble the complex Ritz vectors on the host — downstream
+            # jnp consumers accept numpy leaves transparently.
+            return jax.tree.map(
+                lambda r, i: np.asarray(jax.device_get(r))
+                + 1j * np.asarray(jax.device_get(i)), re, im)
     return _reconstruct_jit(X_lead, jnp.asarray(coeffs))
 
 
@@ -132,7 +140,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             count_applications(A, k_eff - (k - 1),
                                "rmatvec" if transpose else "matvec")
 
-            Hh = np.asarray(jax.device_get(H))
+            Hh = linalg.to_host(H)  # axon-safe complex D2H
             Hk = Hh[:k_eff, :k_eff]
             w, V = np.linalg.eig(Hk)
             r = _ritz_residuals(Hh, V, k_eff) if k_eff > 0 else np.zeros(0)
@@ -170,7 +178,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     # Keep the basis in its native (possibly real) dtype: linear_combination
     # splits complex coefficients over a real basis into two real MXU
     # matmuls + lax.complex, the TPU-efficient reconstruction.
-    X_lead = jax.tree.map(lambda l: l[:kdim], X)
+    X_lead = vectors.lead(X, kdim)  # jitted (axon: no eager complex slice)
     ritz_vecs = _reconstruct(X_lead, coeffs)
 
     info = n_conv if converged else -n_conv

@@ -28,6 +28,7 @@ from .. import constants, vectors
 from ..krylov.bidiag import bidiagonalization, initialize_bidiag
 from ..linops import aslinop
 from .eigs import _reconstruct
+from ..utils import linalg
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import SVDSOptions, SolverMetadata
 from ..utils.timer import count_applications, timed_fn
@@ -80,7 +81,7 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
             count_applications(A, max(k_eff - (k - 1), 0), "rmatvec")
             niter += k_eff - (k - 1)
 
-            Bh = np.asarray(jax.device_get(B))
+            Bh = linalg.to_host(B)  # axon-safe complex D2H
             Bk = Bh[:k_eff, :k_eff]
             um, s, vmh = np.linalg.svd(Bk)
             vm = vmh.conj().T
@@ -100,12 +101,12 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
         if cycle < opts.maxiter - 1 and k_final == kdim:
             # Thick restart onto the n best triplets (Baglama-Reichel).
             n = min(max(nsv + (kdim - nsv) // 2, nsv + 1), kdim - 1)
-            beta = np.asarray(jax.device_get(B[kdim, kdim - 1]))
+            beta = linalg.to_host(B[kdim, kdim - 1])
             Pk = np.zeros((kdim, kdim), dtype=np.dtype(dt))
             Pk[:, :n] = umat[:, :n]
             Qk = np.zeros((kdim, kdim), dtype=np.dtype(dt))
             Qk[:, :n] = vmat[:, :n]
-            U_lead = jax.tree.map(lambda l: l[:kdim], U)
+            U_lead = vectors.lead(U, kdim)
             Uc = _reconstruct(U_lead, Pk)
             Vc = _reconstruct(V, Qk)
             u_res = vectors.get_column(U, kdim)

@@ -37,6 +37,7 @@ __all__ = [
     "givens_rotation",
     "apply_givens_rotation",
     "solve_triangular",
+    "to_host",
 ]
 
 
@@ -47,9 +48,32 @@ def _complex_of(dtype):
     return np.dtype(np.complex64) if dtype == np.float32 else np.dtype(np.complex128)
 
 
+@jax.jit
+def _split_reim(x):
+    return jnp.real(x), jnp.imag(x)
+
+
 def _host(x):
-    """Fetch a (small) device array to host numpy."""
+    """Fetch a (small) device array to host numpy.
+
+    Complex arrays are split into (real, imag) by ONE jitted call and
+    recombined on the host: direct complex D2H (and eager complex ops) are
+    UNIMPLEMENTED on the axon TPU plugin (CLAUDE.md quirks; round-3
+    flagship attempt 2 died on an eager ``conj``).  Real arrays transfer
+    directly.
+    """
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)  # already host data: no transfer
+    if np.issubdtype(x.dtype, np.complexfloating):
+        re, im = jax.device_get(_split_reim(x))
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(x.dtype)
     return np.asarray(jax.device_get(x))
+
+
+def to_host(x):
+    """Public axon-safe device->host fetch (complex arrays split re/im
+    inside one jitted call — see ``_host``)."""
+    return _host(x)
 
 
 def eig(A):

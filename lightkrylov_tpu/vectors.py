@@ -98,8 +98,13 @@ def dot(x, y):
     return _tree_sum(terms)
 
 
+@jax.jit
 def norm(x):
-    """Euclidean norm (reference: AbstractVectors.fypp ``norm = sqrt(dot)``)."""
+    """Euclidean norm (reference: AbstractVectors.fypp ``norm = sqrt(dot)``).
+
+    Jitted: drivers call it eagerly on complex vectors, and eager complex
+    ops are UNIMPLEMENTED on the axon TPU plugin (under jit the complex
+    math compiles fine and only a real scalar leaves the device)."""
     sq = _tree_sum([jnp.sum(jnp.real(xl * jnp.conj(xl))) for xl in _leaves(x)])
     return jnp.sqrt(sq)
 
@@ -247,6 +252,13 @@ def zeros_basis(x_template, k: int):
 
 def zero_basis_like(X):
     return jax.tree.map(jnp.zeros_like, X)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def lead(X, k: int):
+    """Leading ``k`` stacked columns of a basis buffer, sliced under jit
+    (eager complex slicing is UNIMPLEMENTED on the axon TPU plugin)."""
+    return jax.tree.map(lambda l: l[:k], X)
 
 
 @partial(jax.jit, static_argnames=("ifnorm",))

@@ -74,3 +74,35 @@ def test_gl_analytic_branch_spectrum():
     analytic = gl_analytic_eigvals(3)
     for n in range(3):
         assert abs(dense_ev[n] - analytic[n]) < 2e-2  # second-order FD error at dx ~ 0.39, (n, dense_ev[n], analytic[n])
+
+
+def test_realified_gl_matches_complex_spectrum():
+    """GinzburgLandauReal (f32/f64 real (2, nx) state) is the exact
+    realification of the complex operator: R(A) spectrum = spec(A) U
+    conj(spec(A)).  This formulation IS the on-chip flagship path — the
+    axon TPU runtime compiles no complex computation at all
+    (results_tpu.json probe "axon_complex")."""
+    from lightkrylov_tpu.models import (GinzburgLandau, GinzburgLandauReal,
+                                        GLPropagator)
+
+    nx = 48
+    glr = GinzburgLandauReal(nx=nx, dtype=jnp.float64)
+    # realified matvec == realified dense oracle
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((2, nx))
+    y = np.asarray(glr.matvec(jnp.asarray(u)))
+    yref = (glr.dense() @ u.reshape(-1)).reshape(2, nx)
+    assert np.abs(y - yref).max() < 1e-12
+
+    # eigs on the realified propagator recovers the complex spectrum
+    wc = np.linalg.eigvals(GinzburgLandau(nx, dtype=jnp.complex128).dense())
+    wc = wc[np.argsort(-wc.real)][:4]
+    prop = GLPropagator(glr, tau=0.01, n_steps=10)
+    x0 = jnp.asarray(rng.standard_normal((2, nx)))
+    evals, evecs, res, info, meta = lk.eigs(
+        prop, 8, x0=x0, kdim=24, tolerance=1e-8,
+        options=lk.EigsOptions(maxiter=100))
+    lam = np.log(np.asarray(evals).astype(complex)) / 0.01
+    for w in wc:
+        d = min(np.abs(lam - w).min(), np.abs(lam - np.conj(w)).min())
+        assert d < 1e-6, f"eigenvalue {w} missing from realified Ritz set"
