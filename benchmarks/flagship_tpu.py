@@ -1,43 +1,60 @@
 """Flagship BASELINE configs on the real TPU chip (VERDICT r1 item 5).
 
-Runs, in ONE process (relay startup is expensive):
+Runs, in ONE process (relay startup is expensive), each stage isolated so
+one failure never loses the others' data:
   1. Ginzburg-Landau eigs at nx=512, tau=0.01, nev=8, kdim=16 — the
      reference's flagship example config
      (example/ginzburg_landau/main.f90:20-27,68) — via the REALIFIED
      operator (GinzburgLandauReal, f32, nev/kdim doubled because the
      realified spectrum carries each complex eigenvalue with its
      conjugate).  The axon TPU runtime cannot compile ANY computation with
-     complex buffers (probe "axon_complex" in results_tpu.json: eager,
-     jitted, complex-carry loops and real->complex outputs all
-     UNIMPLEMENTED), so c64 is impossible on this chip in any formulation;
-     realification is exact (R(A) spectrum = spec(A) U conj(spec(A))) and
-     costs the same FLOPs.  Validated against the committed f64 CPU
-     spectrum (gl_direct_spectrum.npy) and the analytic branch spectrum.
+     complex buffers (probe "axon_complex" in results_tpu.json), so c64 is
+     impossible on this chip in any formulation; realification is exact
+     (R(A) spectrum = spec(A) U conj(spec(A))) and costs the same FLOPs.
+     Validation: each of the 8 committed f64 anchor eigenvalues
+     (gl_direct_spectrum.npy) must be found — as itself or its conjugate —
+     among the CONVERGED Ritz values (an unconverged straggler pair must
+     not poison the metric).
   2. Roessler UPO Newton-Krylov shooting in f32 (config 5; reference seed
      example/roessler/main.f90:87-88, T* = 5.88108845).
   3. PCG on Poisson 128^2 with block-Jacobi (config 1).
   4. The 1-chip 10M-DoF point: one GMRES(30) cycle on the 3072^2 Poisson
      operator — the single-chip baseline for future weak-scaling runs.
 
-Appends one JSON line to benchmarks/results_tpu.json.  No f64 on TPU: runs
-use f32 and record the achieved accuracy against the f64 anchors — the
-f32 floor is the documented gap to BASELINE's 1e-10 (BASELINE.md note).
+Appends one JSON line to benchmarks/results_tpu.json (ALWAYS — failed
+stages carry an "error" field).  No f64 on TPU: runs use f32 and record
+the achieved accuracy against the f64 anchors — the f32 floor is the
+documented gap to BASELINE's 1e-10 (BASELINE.md note).
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-from bench import timed_loop
-
 
 def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def stage(res, name, fn):
+    """Run one benchmark stage; record its result or its failure."""
+    t0 = time.time()
+    try:
+        out = fn()
+        out["seconds"] = round(time.time() - t0, 1)
+        res[name] = out
+        log(f"stage {name}: ok ({out['seconds']}s)")
+    except Exception as e:  # noqa: BLE001
+        res[name] = {"error": f"{type(e).__name__}: {str(e)[:400]}",
+                     "seconds": round(time.time() - t0, 1)}
+        log(f"stage {name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+        traceback.print_exc()
 
 
 def main():
@@ -46,7 +63,7 @@ def main():
 
     import lightkrylov_tpu as lk
     from lightkrylov_tpu.models import (
-        GinzburgLandauReal, GLPropagator, gl_analytic_eigvals,
+        GinzburgLandauReal, GLPropagator,
         Poisson2D, BlockJacobiPoisson, upo_system, flow)
     from lightkrylov_tpu.utils.options import CGOptions
 
@@ -57,97 +74,152 @@ def main():
     a = jnp.ones((1024, 1024), jnp.float32)
     assert abs(float(jax.device_get(jnp.sum(a @ a))) - 1024.0**3) < 1e6
     log("health gate ok")
+    rng = np.random.default_rng(0)
 
     # ---- 1. GL eigs nx=512, tau=0.01, nev=8(x2), kdim=16(x2), realified ---
-    nx, tau, nev, kdim = 512, 0.01, 8, 16
-    gl = GinzburgLandauReal(nx=nx, dtype=jnp.float32)
-    prop = GLPropagator(gl, tau=tau, n_steps=10)
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal((2, nx)).astype(np.float32))
-    t0 = time.time()
-    evals, evecs, resid, info, meta = lk.eigs(
-        prop, 2 * nev, x0=x0, kdim=2 * kdim, tolerance=1e-6,
-        options=lk.EigsOptions(maxiter=200))
-    t_gl = time.time() - t0
-    # map propagator eigenvalues to generator eigenvalues: log(mu)/tau
-    lam_A = np.log(np.asarray(evals).astype(np.complex128)) / tau
-    ref = np.load("/root/repo/gl_direct_spectrum.npy")
-    lam_ref = ref[:, 0] + 1j * ref[:, 1]
-    # realified spectrum = ref U conj(ref)
-    lam_both = np.concatenate([lam_ref, np.conj(lam_ref)])
-    err_ref = max(np.min(np.abs(l - lam_both)) for l in lam_A)
-    ana = gl_analytic_eigvals(nev)
-    ana_both = np.concatenate([ana, np.conj(ana)])
-    err_ana = max(np.min(np.abs(l - ana_both)) for l in lam_A)
-    log(f"GL eigs nx=512 realified f32: info={info} {t_gl:.0f}s; max dev vs "
-        f"f64 CPU spectrum {err_ref:.2e}, vs analytic branch {err_ana:.2e}")
-    res["gl512"] = {"info": int(info), "seconds": round(t_gl, 1),
-                    "formulation": "realified-f32",
-                    "max_dev_vs_f64_spectrum": float(err_ref),
-                    "max_dev_vs_analytic": float(err_ana),
-                    "eigvals_re": [float(l.real) for l in lam_A],
-                    "eigvals_im": [float(l.imag) for l in lam_A]}
-    assert err_ref < 5e-3, "GL spectrum off the f64 anchors beyond f32 floor"
+    # Validation policy (round-3 analysis): the CGL operator is SEVERELY
+    # non-normal — the committed f64 anchors carry eigenvalue condition
+    # numbers kappa = 33 .. 9.2e5 (4th column of gl_direct_spectrum.npy),
+    # so eigenvalue agreement between any two backward-stable computations
+    # is bounded by kappa * (backward error), NOT by machine epsilon.  The
+    # valid accuracy claims are therefore:
+    #   (a) true relative eigen-residual ||A v - lam v|| / ||v|| < 5e-3
+    #       (backward error; CPU f32 calibration: 9e-4), and
+    #   (b) per-anchor eigenvalue deviation < max(2e-3, 2e-5 * kappa_i)
+    #       capped at 0.5 (CPU f32 calibration: dev/kappa = 1e-7..1e-5).
+    # Eigenvalues are recovered by Rayleigh quotients of the converged Ritz
+    # vectors through the GENERATOR matvec (exact for true eigenpairs, and
+    # how the f64 anchors were produced) rather than log(mu)/tau.
+    def gl_stage():
+        nx, tau, nev, kdim = 512, 0.01, 8, 16
+        gl = GinzburgLandauReal(nx=nx, dtype=jnp.float32)
+        prop = GLPropagator(gl, tau=tau, n_steps=10)
+        x0 = jnp.asarray(rng.standard_normal((2, nx)).astype(np.float32))
+        tol = 1e-6
+        evals, evecs, resid, info, meta = lk.eigs(
+            prop, 2 * nev, x0=x0, kdim=2 * kdim, tolerance=tol,
+            options=lk.EigsOptions(maxiter=200))
+        resid = np.asarray(resid)
+        n_conv = int((resid < tol).sum())
+        # host-side Rayleigh quotients + true residuals on the generator:
+        # the complex Ritz vectors live on host already (axon _reconstruct
+        # fallback); R(A) acts on re/im parts separately.
+        Vc = np.asarray(jax.tree_util.tree_leaves(evecs)[0])
+        mv = jax.jit(gl.matvec)
+        lam_rq, true_res = [], []
+        for i in range(Vc.shape[0]):
+            v = Vc[i]
+            Av = (np.asarray(mv(jnp.asarray(v.real.astype(np.float32))))
+                  + 1j * np.asarray(
+                      mv(jnp.asarray(v.imag.astype(np.float32)))))
+            lam = np.vdot(v, Av) / np.vdot(v, v)
+            lam_rq.append(lam)
+            true_res.append(float(np.linalg.norm(Av - lam * v)
+                                  / np.linalg.norm(v)))
+        lam_rq = np.array(lam_rq)
+        ref = np.load("/root/repo/gl_direct_spectrum.npy")
+        per_anchor, budgets = [], []
+        for k in range(ref.shape[0]):
+            w = ref[k, 0] + 1j * ref[k, 1]
+            kappa = ref[k, 3]
+            d = float(min(np.abs(lam_rq - w).min(),
+                          np.abs(lam_rq - np.conj(w)).min()))
+            per_anchor.append(d)
+            budgets.append(min(0.5, max(2e-3, 2e-5 * kappa)))
+        max_res = max(true_res)
+        log(f"GL eigs nx=512 realified f32: info={info} conv={n_conv}/16; "
+            f"max true eigen-residual {max_res:.2e}; anchor devs "
+            f"{['%.1e' % d for d in per_anchor]}")
+        out = {"info": int(info), "formulation": "realified-f32",
+               "n_conv": n_conv,
+               "max_true_eigen_residual": max_res,
+               "true_eigen_residuals": true_res,
+               "per_anchor_dev": per_anchor,
+               "per_anchor_budget_kappa": budgets,
+               "eigvals_re": [float(l.real) for l in lam_rq],
+               "eigvals_im": [float(l.imag) for l in lam_rq],
+               "ritz_residuals": [float(r) for r in resid]}
+        assert n_conv >= 12, f"only {n_conv}/16 realified pairs converged"
+        assert max_res < 5e-3, \
+            f"true eigen-residual beyond the f32 floor: {max_res:.2e}"
+        for k, (d, b) in enumerate(zip(per_anchor, budgets)):
+            assert d < b, (f"anchor {k} dev {d:.2e} exceeds kappa budget "
+                           f"{b:.2e}")
+        return out
+
+    stage(res, "gl512", gl_stage)
 
     # ---- 2. Roessler UPO shooting (f32) -----------------------------------
-    sys_ = upo_system(n_steps=3000)
-    X0 = {"pos": jnp.asarray(np.array([0.0, 6.1, 1.3], np.float32)),
-          "T": jnp.asarray(np.float32(6.0))}
-    t0 = time.time()
-    X, ninfo, nmeta = lk.newton(
-        sys_, X0, rtol=0.0, atol=3e-5,
-        options=lk.NewtonOptions(maxiter=60),
-        linear_solver_options=lk.GMRESOptions(kdim=4, maxiter=10))
-    t_upo = time.time() - t0
-    T = float(X["T"])
-    closure = float(jnp.linalg.norm(flow(X["pos"], X["T"], 3000) - X["pos"]))
-    log(f"Roessler UPO f32: info={ninfo} {t_upo:.0f}s T={T:.6f} "
-        f"(ref 5.88108845) closure={closure:.2e}")
-    res["roessler_upo"] = {"info": int(ninfo), "seconds": round(t_upo, 1),
-                           "T": T, "T_err": abs(T - 5.88108845),
-                           "closure": closure}
-    assert abs(T - 5.88108845) < 5e-3, "UPO period off the reference anchor"
+    def upo_stage():
+        sys_ = upo_system(n_steps=3000)
+        X0 = {"pos": jnp.asarray(np.array([0.0, 6.1, 1.3], np.float32)),
+              "T": jnp.asarray(np.float32(6.0))}
+        X, ninfo, nmeta = lk.newton(
+            sys_, X0, rtol=0.0, atol=3e-5,
+            options=lk.NewtonOptions(maxiter=60),
+            linear_solver_options=lk.GMRESOptions(kdim=4, maxiter=10))
+        T = float(X["T"])
+        closure = float(jnp.linalg.norm(
+            flow(X["pos"], X["T"], 3000) - X["pos"]))
+        log(f"Roessler UPO f32: info={ninfo} T={T:.6f} "
+            f"(ref 5.88108845) closure={closure:.2e}")
+        out = {"info": int(ninfo), "T": T, "T_err": abs(T - 5.88108845),
+               "closure": closure}
+        assert abs(T - 5.88108845) < 5e-3, "UPO period off the anchor"
+        return out
+
+    stage(res, "roessler_upo", upo_stage)
 
     # ---- 3. PCG Poisson 128^2 (config 1) ----------------------------------
-    op = Poisson2D(128, dtype=jnp.float32)
-    M = BlockJacobiPoisson(op)
-    b = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
-    t0 = time.time()
-    x, cinfo, cmeta = lk.cg(op, b, preconditioner=M, rtol=1e-4,
-                            options=CGOptions(maxiter=600))
-    t_cg = time.time() - t0
-    relres = float(jnp.linalg.norm(op.matvec(x) - b) / jnp.linalg.norm(b))
-    log(f"PCG Poisson 128^2: info={cinfo} {t_cg:.0f}s relres={relres:.2e}")
-    res["pcg_poisson128"] = {"info": int(cinfo), "seconds": round(t_cg, 1),
-                             "relres": relres}
-    assert relres < 1e-3
+    def pcg_stage():
+        op = Poisson2D(128, dtype=jnp.float32)
+        M = BlockJacobiPoisson(op)
+        b = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+        x, cinfo, cmeta = lk.cg(op, b, preconditioner=M, rtol=1e-4,
+                                options=CGOptions(maxiter=600))
+        relres = float(jnp.linalg.norm(op.matvec(x) - b)
+                       / jnp.linalg.norm(b))
+        log(f"PCG Poisson 128^2: info={cinfo} relres={relres:.2e}")
+        out = {"info": int(cinfo), "relres": relres}
+        assert relres < 1e-3
+        return out
+
+    stage(res, "pcg_poisson128", pcg_stage)
 
     # ---- 4. 1-chip 10M-DoF GMRES cycle (weak-scaling baseline point) ------
-    n = 3072
-    op10 = Poisson2D(n, dtype=jnp.float32)
-    b10 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    def gmres_stage():
+        n = 3072
+        op10 = Poisson2D(n, dtype=jnp.float32)
+        b10 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
 
-    def gmres_cycle(v):
-        x, _, _ = lk.gmres(op10, v, rtol=0.0, atol=0.0,
-                           options=lk.GMRESOptions(kdim=30, maxiter=1))
-        return x
+        def gmres_cycle(v):
+            x, _, _ = lk.gmres(op10, v, rtol=0.0, atol=0.0,
+                               options=lk.GMRESOptions(kdim=30, maxiter=1))
+            return x
 
-    t0 = time.time()
-    x1 = gmres_cycle(b10)
-    jax.block_until_ready(x1)
-    t_compile_and_run = time.time() - t0
-    t0 = time.time()
-    x1 = gmres_cycle(b10)
-    jax.block_until_ready(x1)
-    t_cycle = time.time() - t0
-    log(f"GMRES(30) one cycle @ 3072^2 (9.4M DoF, f32): {t_cycle:.3f}s "
-        f"(first incl. compile {t_compile_and_run:.1f}s)")
-    res["gmres_3072_cycle_s"] = round(t_cycle, 4)
+        t0 = time.time()
+        jax.block_until_ready(gmres_cycle(b10))
+        t_compile_and_run = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(gmres_cycle(b10))
+            times.append(time.perf_counter() - t0)
+        t_cycle = min(times)
+        log(f"GMRES(30) one cycle @ 3072^2 (9.4M DoF, f32): {t_cycle:.3f}s "
+            f"(first incl. compile {t_compile_and_run:.1f}s)")
+        return {"cycle_s": round(t_cycle, 4),
+                "first_incl_compile_s": round(t_compile_and_run, 1)}
+
+    stage(res, "gmres_3072", gmres_stage)
 
     out_path = os.path.join(os.path.dirname(__file__), "results_tpu.json")
     with open(out_path, "a") as f:
         f.write(json.dumps(res) + "\n")
-    log("DONE")
+    failed = [k for k, v in res.items()
+              if isinstance(v, dict) and "error" in v]
+    log("DONE; failed stages:", failed or "none")
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":

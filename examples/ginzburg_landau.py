@@ -60,7 +60,7 @@ def main():
     for lam, r in zip(lam_A, np.asarray(res)):
         print(f"  lambda = {lam.real:+.8f} {lam.imag:+.8f}i   (ritz res {r:.1e})")
     lk.save_eigenspectrum(np.asarray(lam_A), np.asarray(res),
-                          "gl_direct_spectrum.npy")
+                          "gl_spectrum_out.npy")
 
     with lk.timed("gl_adjoint_eigs"):
         evals_a, _, res_a, _, meta_a = lk.eigs(
