@@ -11,10 +11,11 @@ one failure never loses the others' data:
      complex buffers (probe "axon_complex" in results_tpu.json), so c64 is
      impossible on this chip in any formulation; realification is exact
      (R(A) spectrum = spec(A) U conj(spec(A))) and costs the same FLOPs.
-     Validation: each of the 8 committed f64 anchor eigenvalues
-     (gl_direct_spectrum.npy) must be found — as itself or its conjugate —
-     among the CONVERGED Ritz values (an unconverged straggler pair must
-     not poison the metric).
+     Validation: Rayleigh-quotient eigenvalues from the converged Ritz
+     vectors, asserted by (a) true eigen-residual (backward error) and
+     (b) per-anchor deviation within each anchor's kappa budget — the CGL
+     operator is severely non-normal (see the gl_stage comment and
+     BASELINE.md "Non-normality note").
   2. Roessler UPO Newton-Krylov shooting in f32 (config 5; reference seed
      example/roessler/main.f90:87-88, T* = 5.88108845).
   3. PCG on Poisson 128^2 with block-Jacobi (config 1).
