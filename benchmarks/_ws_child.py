@@ -64,17 +64,20 @@ def run():
                     options=lk.EigsOptions(maxiter=1))
 
 
+repeats = int(os.environ.get("WS_REPEATS", "5"))
 out = run()  # compile + warm
 jax.block_until_ready(jax.tree_util.tree_leaves(out[0]))
 times = []
-for _ in range(3):
+for _ in range(repeats):
     t0 = time.perf_counter()
     out = run()
     jax.block_until_ready(jax.tree_util.tree_leaves(out[0]))
     times.append(time.perf_counter() - t0)
 
 if pid == 0:
+    srt = sorted(times)
     print("WS-RESULT " + json.dumps(
         {"nproc": nproc, "rows_per_proc": rows, "nx": nx, "solver": solver,
          "dof": ny * nx, "time_s": round(min(times), 4),
+         "median_s": round(srt[len(srt) // 2], 4),
          "times": [round(t, 4) for t in times]}), flush=True)
