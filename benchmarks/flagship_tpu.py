@@ -34,6 +34,10 @@ import sys
 import time
 import traceback
 
+# axon: a single device-side complex op poisons the whole process (even
+# subsequent real H2D fails) — force host-side complex assembly everywhere.
+os.environ["LIGHTKRYLOV_NO_DEVICE_COMPLEX"] = "1"
+
 sys.path.insert(0, "/root/repo")
 
 import numpy as np

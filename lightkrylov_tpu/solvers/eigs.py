@@ -23,6 +23,8 @@ each matvec is an expensive time-stepper integration.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,16 +46,31 @@ def _reconstruct_jit(X_lead, coeffs):
     return vectors.linear_combination(X_lead, coeffs)
 
 
+def device_complex_enabled() -> bool:
+    """Whether complex arrays may be materialized ON DEVICE.
+
+    The axon TPU relay compiles no complex computation at all
+    (results_tpu.json probe "axon_complex"), and — worse — a failed
+    complex op can POISON the process: after one complex D2H failure even
+    plain real H2D transfers return UNIMPLEMENTED for the rest of the
+    process (round-3 flagship attempt 4).  A try/except fallback is
+    therefore NOT safe on that runtime; the decision must be made without
+    touching the device.  Set ``LIGHTKRYLOV_NO_DEVICE_COMPLEX=1`` in the
+    environment for axon drives (benchmarks do this); everywhere else
+    complex stays on device.
+    """
+    return os.environ.get("LIGHTKRYLOV_NO_DEVICE_COMPLEX", "0") != "1"
+
+
 def _reconstruct(X_lead, coeffs):
     """Ritz-vector reconstruction ``X @ coeffs`` (jitted tall-skinny GEMM).
 
     When the coefficients are complex over a *real* basis (real-operator
     eigenproblem), the contraction is performed as two real MXU matmuls —
-    with the real/imag split done *outside* the jit boundary and the complex
-    result assembled eagerly.  Besides being cheaper than complex-emulated
-    matmul, this keeps the hot path free of complex jit arguments, which
-    the axon PJRT plugin used for single-chip benchmarking cannot compile
-    (UNIMPLEMENTED on any jitted computation with a complex input buffer).
+    with the real/imag split done *outside* the jit boundary.  The complex
+    result is assembled on device, or on the HOST when
+    :func:`device_complex_enabled` is false (axon: any device-side complex
+    op both fails and poisons the process).
     """
     coeffs = np.asarray(coeffs)
     basis_real = not any(
@@ -63,15 +80,12 @@ def _reconstruct(X_lead, coeffs):
         rdt = jax.tree_util.tree_leaves(X_lead)[0].dtype
         re = _reconstruct_jit(X_lead, jnp.asarray(coeffs.real.astype(rdt)))
         im = _reconstruct_jit(X_lead, jnp.asarray(coeffs.imag.astype(rdt)))
-        try:
+        if device_complex_enabled():
             return jax.tree.map(jax.lax.complex, re, im)
-        except Exception:
-            # axon: NO complex op compiles on-device (probe "axon_complex"),
-            # so assemble the complex Ritz vectors on the host — downstream
-            # jnp consumers accept numpy leaves transparently.
-            return jax.tree.map(
-                lambda r, i: np.asarray(jax.device_get(r))
-                + 1j * np.asarray(jax.device_get(i)), re, im)
+        # host assembly — downstream jnp consumers accept numpy leaves
+        return jax.tree.map(
+            lambda r, i: np.asarray(jax.device_get(r))
+            + 1j * np.asarray(jax.device_get(i)), re, im)
     return _reconstruct_jit(X_lead, jnp.asarray(coeffs))
 
 
