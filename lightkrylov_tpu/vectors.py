@@ -281,16 +281,24 @@ def innerprod(X, y):
     """
     X_leaves, y_leaves = _leaves(X), _leaves(y)
     x0, y0 = X_leaves[0], y_leaves[0]
+    # HIGHEST matmul precision: TPU MXU f32 matmuls default to bf16-pass
+    # arithmetic, which costs ~3 digits of orthogonality per CGS pass —
+    # fatal for Krylov reductions (round-3 chip run: GL eigen-residuals
+    # 1e0 instead of 1e-3).  The 6-pass f32 decomposition restores full
+    # f32 accuracy; reductions are HBM-bound, so the extra MXU passes are
+    # far from the bottleneck.
+    P = jax.lax.Precision.HIGHEST
     if y0.ndim == x0.ndim - 1:
         # basis x vector -> (k,)
         terms = [
-            _as_matrix(Xl).conj() @ _as_vector(yl)
+            jnp.matmul(_as_matrix(Xl).conj(), _as_vector(yl), precision=P)
             for Xl, yl in zip(X_leaves, y_leaves)
         ]
     else:
         # basis x basis -> (k, m)
         terms = [
-            jnp.einsum("ks,ms->km", _as_matrix(Xl).conj(), _as_matrix(yl))
+            jnp.einsum("ks,ms->km", _as_matrix(Xl).conj(), _as_matrix(yl),
+                       precision=P)
             for Xl, yl in zip(X_leaves, y_leaves)
         ]
     return _tree_sum(terms)
@@ -375,9 +383,12 @@ def linear_combination(X, v):
     v_cplx = np.issubdtype(v.dtype, np.complexfloating)
 
     def contract(coeff, mat):
+        # HIGHEST precision — see innerprod (basis updates feed back into
+        # the next projection, so default MXU precision compounds).
+        P = jax.lax.Precision.HIGHEST
         if coeff.ndim == 1:
-            return coeff @ mat
-        return jnp.einsum("km,ks->ms", coeff, mat)
+            return jnp.matmul(coeff, mat, precision=P)
+        return jnp.einsum("km,ks->ms", coeff, mat, precision=P)
 
     def leaf_fn(Xl):
         mat = _as_matrix(Xl)
