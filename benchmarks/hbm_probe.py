@@ -196,19 +196,27 @@ def main():
                 times.append(time.perf_counter() - t0)
             t_cyc = min(times)
             S = n_s * n_s * 4
-            # static-full-buffer CGS2 traffic model (see module docstring)
-            lb_bytes = kdim * (2 + 4 * (kdim + 1)) * S
-            lb_t = lb_bytes / bw_roof
-            frac = lb_t / t_cyc
+            # Traffic lower bounds per GMRES(kdim) cycle:
+            #  - full-buffer CGS2 (pre-round-3): every pass reads all
+            #    kdim+1 columns -> kdim * (2 + 4(kdim+1)) * S
+            #  - active-prefix CGS2 (current, chunk=8): pass at inner
+            #    iteration k reads L_k = 8*ceil((k+1)/8) columns
+            chunk = 8
+            live = sum(chunk * -(-(k + 1) // chunk) for k in range(kdim))
+            lb_full = kdim * (2 + 4 * (kdim + 1)) * S / bw_roof
+            lb_prefix = (kdim * 2 + 4 * live + kdim * 6) * S / bw_roof
+            frac = lb_prefix / t_cyc
             mv_gnnzs = kdim * (5 * n_s * n_s) / t_cyc / 1e9
             log(f"  n={n_s} {op_name}: cycle {t_cyc*1e3:.0f} ms "
-                f"(model LB {lb_t*1e3:.0f} ms, achieved frac {frac:.3f}; "
+                f"(prefix-model LB {lb_prefix*1e3:.0f} ms -> frac "
+                f"{frac:.3f}; full-buffer LB {lb_full*1e3:.0f} ms; "
                 f"first incl. compile {t_first:.1f}s; "
                 f"in-solver matvec rate {mv_gnnzs:.1f} Gnnz/s)")
             res["solver"].append({
                 "n": n_s, "op": op_name, "cycle_s": round(t_cyc, 4),
-                "model_lb_s": round(lb_t, 4),
-                "achieved_frac_of_lb": round(frac, 4),
+                "model_lb_prefix_s": round(lb_prefix, 4),
+                "model_lb_fullbuffer_s": round(lb_full, 4),
+                "achieved_frac_of_prefix_lb": round(frac, 4),
                 "in_solver_matvec_Gnnzs": round(mv_gnnzs, 2)})
             del b
         except Exception as e:  # noqa: BLE001
