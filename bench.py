@@ -160,37 +160,68 @@ def main():
     # kernel wins.  Both are the framework's own operator layer.
     candidates = {}
     try:
-        op = PallasPoisson2D(nx, ny, dtype=jnp.float32, tile=256,
-                             interpret=not on_tpu)
+        op_p = PallasPoisson2D(nx, ny, dtype=jnp.float32, tile=256,
+                               interpret=not on_tpu)
         if not on_tpu:
             raise RuntimeError("interpret mode too slow for timing")
-        t_p, d_p = timed_loop(op.matvec, u)
+        t_p, d_p = timed_loop(op_p.matvec, u)
         if d_p["valid"]:
-            candidates["pallas"] = (t_p, d_p)
+            candidates["pallas"] = (t_p, d_p, op_p)
     except Exception as e:
         print(f"# pallas kernel skipped: {type(e).__name__}", file=sys.stderr)
-    op = Poisson2D(nx, ny, dtype=jnp.float32)
-    t_x, d_x = timed_loop(op.matvec, u)
+    op_x = Poisson2D(nx, ny, dtype=jnp.float32)
+    t_x, d_x = timed_loop(op_x.matvec, u)
     if d_x["valid"]:
-        candidates["xla"] = (t_x, d_x)
+        candidates["xla"] = (t_x, d_x, op_x)
     if not candidates:
         print(json.dumps({"metric": "poisson_spmv_invalid_timing",
                           "value": 0.0, "unit": "Gnnz/s", "vs_baseline": 0.0}))
         return
-    for name, (tc, _) in candidates.items():
-        print(f"# {name}: {nnz / tc / 1e9:.1f} Gnnz/s", file=sys.stderr)
-    used, (t, kdiag) = min(candidates.items(), key=lambda kv: kv[1][0])
+    for name, (tc, _, _op) in candidates.items():
+        print(f"# warm {name}: {nnz / tc / 1e9:.1f} Gnnz/s", file=sys.stderr)
+    used, (t, kdiag, op_used) = min(candidates.items(),
+                                    key=lambda kv: kv[1][0])
 
-    nnz_per_s = nnz / t
     bytes_per_nnz = 8.0 / 5.0  # read u + write y per point, 5 nnz per point
     roofline = bw / bytes_per_nnz
     target = 0.8 * roofline
+
+    # Headline metric: the COLD-INPUT regime (each matvec input drawn from
+    # a rotating 31-column basis, 1.2 GB at bench scale — cannot be
+    # VMEM-resident), i.e. the memory pattern a Krylov solver actually has.
+    # The warm back-to-back number at this scale runs VMEM-assisted and
+    # can exceed physical HBM bandwidth (round-2 VERDICT weak #1); the
+    # cold number is a true roofline statement.
+    regime = "warm"
+    if on_tpu:
+        try:
+            Xsrc = jnp.asarray(
+                rng.standard_normal((31, ny, nx)).astype(np.float32))
+            jax.block_until_ready(Xsrc)
+
+            def cold_step(carry):
+                i, s, Xc = carry
+                v = jax.lax.dynamic_index_in_dim(
+                    Xc, jax.lax.rem(i, jnp.int32(31)), keepdims=False)
+                wv = op_used.matvec(v)
+                return i + 1, s + jnp.sum(wv), Xc
+
+            t_cold, d_cold = timed_loop(
+                cold_step, (jnp.int32(0), jnp.float32(0), Xsrc))
+            if d_cold["valid"]:
+                t, kdiag, regime = t_cold, d_cold, "cold"
+        except Exception as e:  # noqa: BLE001
+            print(f"# cold-regime loop skipped: {type(e).__name__}",
+                  file=sys.stderr)
+
+    nnz_per_s = nnz / t
     print(f"# chip={kind} bw={bw/1e9:.0f} GB/s ({bw_src}; measured "
           f"{bw_meas/1e9:.0f} GB/s valid={sdiag['valid']}) kernel={used} "
-          f"t={t*1e6:.1f} us/matvec eff_bw={nnz_per_s*bytes_per_nnz/1e9:.0f} "
+          f"regime={regime} t={t*1e6:.1f} us/matvec "
+          f"eff_bw={nnz_per_s*bytes_per_nnz/1e9:.0f} "
           f"GB/s iters={kdiag['iters']}", file=sys.stderr)
     result = {
-        "metric": f"poisson_spmv_{used}_{backend}_{n}x{n}",
+        "metric": f"poisson_spmv_{regime}_{used}_{backend}_{n}x{n}",
         "value": round(nnz_per_s / 1e9, 4),
         "unit": "Gnnz/s",
         "vs_baseline": round(nnz_per_s / target, 4),
