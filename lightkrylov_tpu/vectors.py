@@ -383,12 +383,18 @@ def linear_combination(X, v):
     v_cplx = np.issubdtype(v.dtype, np.complexfloating)
 
     def contract(coeff, mat):
-        # HIGHEST precision — see innerprod (basis updates feed back into
-        # the next projection, so default MXU precision compounds).
-        P = jax.lax.Precision.HIGHEST
         if coeff.ndim == 1:
-            return jnp.matmul(coeff, mat, precision=P)
-        return jnp.einsum("km,ks->ms", coeff, mat, precision=P)
+            # Rank-k update as a VPU broadcast-multiply + reduction: one
+            # full-f32 streaming pass over the basis.  XLA's vector-matrix
+            # matmul lowering runs ~6x below HBM bandwidth on TPU for this
+            # shape (135 vs 750 GB/s — results_tpu.json probe "cgs_cost"),
+            # while mul+reduce fuses into a bandwidth-speed loop.
+            return jnp.sum(coeff[:, None] * mat, axis=0)
+        # matrix coefficients (basis compression / reconstruction): a real
+        # GEMM — MXU at HIGHEST precision (see innerprod: default MXU f32
+        # is bf16-pass arithmetic and costs ~3 digits).
+        return jnp.einsum("km,ks->ms", coeff, mat,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def leaf_fn(Xl):
         mat = _as_matrix(Xl)

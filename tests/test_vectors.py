@@ -51,16 +51,22 @@ def test_innerprod_matches_dense(key, dtype):
 
 
 def test_linear_combination(key, dtype):
-    """y = X v and Y = X B (reference: AbstractVectors.fypp:571-643)."""
+    """y = X v and Y = X B (reference: AbstractVectors.fypp:571-643).
+
+    Tolerance is dtype-aware: the rank-k update is a VPU mul+reduce whose
+    accumulation order differs from numpy's matmul (single-precision
+    round-off only)."""
     k, m = 6, 2
+    rtol = 1e-4 if np.dtype(dtype) in (np.float32, np.complex64) else 1e-10
     X = vectors.rand_basis(key, vectors.zeros_basis(_template(dtype), k))
     Xm = np.asarray(jax.tree_util.tree_leaves(X)[0])
     v = np.linspace(1, 2, k).astype(dtype)
     out = vectors.linear_combination(X, jnp.asarray(v))
-    assert np.allclose(np.asarray(out), v @ Xm, rtol=1e-5)
+    assert np.allclose(np.asarray(out), v @ Xm, rtol=rtol, atol=rtol)
     B = np.random.default_rng(0).standard_normal((k, m)).astype(dtype)
     out2 = vectors.linear_combination(X, jnp.asarray(B))
-    assert np.allclose(np.asarray(jax.tree_util.tree_leaves(out2)[0]), B.T @ Xm, rtol=1e-5)
+    assert np.allclose(np.asarray(jax.tree_util.tree_leaves(out2)[0]),
+                       B.T @ Xm, rtol=rtol, atol=rtol)
 
 
 def test_gram_hermitian(key, dtype):
