@@ -31,9 +31,17 @@ __all__ = [
 #: Chunk width for active-prefix projections (see
 #: :func:`vectors.innerprod_prefix`): callers that pass the filled column
 #: count ``k`` read only ~k (not kdim) columns per CGS pass.  Set to None to
-#: restore full-buffer reads — one fused all-reduce per pass instead of one
+#: force full-buffer reads — one fused all-reduce per pass instead of one
 #: per live chunk, the better trade on latency-bound multi-host meshes.
 DEFAULT_CHUNK: int | None = 8
+
+#: Prefix chunking only engages for buffers of at least this many columns:
+#: each chunk costs an HLO conditional whose scheduling overhead on TPU
+#: (~0.1 ms class) outweighs the skipped traffic for small buffers — at
+#: kdim=30 the monolithic GMRES cycle measured 402 ms vs 509 ms chunked
+#: AFTER the VPU rank-k update fix (results_tpu.json probe "cgs_cost"),
+#: while for kdim >= ~64 the saved traffic dominates the fixed cond cost.
+MIN_PREFIX_COLS: int = 48
 
 
 def orthogonalize_against_basis(y, X, k=None, chunk=None):
@@ -49,11 +57,13 @@ def orthogonalize_against_basis(y, X, k=None, chunk=None):
     (exact by the zero-column buffer invariant) — the reference's
     ``X(:k)`` growing projection without dynamic shapes.
     """
-    if k is None:
+    if chunk is None:
+        chunk = DEFAULT_CHUNK
+    if k is None or chunk is None or \
+            vectors.basis_size(X) < MIN_PREFIX_COLS:
         proj = vectors.innerprod(X, y)
         correction = vectors.linear_combination(X, proj)
     else:
-        chunk = DEFAULT_CHUNK if chunk is None else chunk
         proj = vectors.innerprod_prefix(X, y, k, chunk)
         correction = vectors.linear_combination_prefix(X, proj, k, chunk)
     y_orth = vectors.axpby(1.0, y, -1.0, correction) if proj.ndim == 1 else \
