@@ -196,3 +196,34 @@ def test_iteration_aware_preconditioner(rng):
     assert meta.converged
     res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
     assert res < 10 * _tol(dtype)
+
+
+def test_gmres_large_kdim_prefix_path():
+    """kdim >= MIN_PREFIX_COLS engages active-prefix chunked CGS2 inside
+    the jitted GMRES core; result must match the monolithic path (the
+    exactness contract of innerprod_prefix under the zero-column buffer
+    invariant)."""
+    from lightkrylov_tpu.krylov import gram_schmidt
+
+    n = 96
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    op = lk.DenseOperator(jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(n))
+    assert 64 >= gram_schmidt.MIN_PREFIX_COLS
+    x1, info1, _ = lk.gmres(op, b, rtol=1e-12,
+                            options=lk.GMRESOptions(kdim=64, maxiter=2))
+    # force the monolithic path for comparison
+    old = gram_schmidt.DEFAULT_CHUNK
+    gram_schmidt.DEFAULT_CHUNK = None
+    try:
+        jax.clear_caches()
+        x2, info2, _ = lk.gmres(op, b, rtol=1e-12,
+                                options=lk.GMRESOptions(kdim=64, maxiter=2))
+    finally:
+        gram_schmidt.DEFAULT_CHUNK = old
+        jax.clear_caches()
+    r1 = np.linalg.norm(A @ np.asarray(x1) - np.asarray(b))
+    r2 = np.linalg.norm(A @ np.asarray(x2) - np.asarray(b))
+    assert r1 < 1e-8 and r2 < 1e-8
+    assert np.allclose(np.asarray(x1), np.asarray(x2), atol=1e-10)
