@@ -228,6 +228,90 @@ def main():
 
     stage(res, "gmres_3072", gmres_stage)
 
+    # ---- 5. GMRES on convection-diffusion (config 2, f32 on chip) ---------
+    def convdiff_stage():
+        from lightkrylov_tpu.models import ConvectionDiffusion2D
+
+        cd = ConvectionDiffusion2D(96, dtype=jnp.float32)
+        bcd = jnp.asarray(rng.standard_normal((96, 96)).astype(np.float32))
+        x, ginfo, _ = lk.gmres(cd, bcd, rtol=1e-5,
+                               options=lk.GMRESOptions(kdim=30, maxiter=40))
+        relres = float(jnp.linalg.norm(cd.matvec(x) - bcd)
+                       / jnp.linalg.norm(bcd))
+        log(f"GMRES convdiff 96^2 f32: info={ginfo} relres={relres:.2e}")
+        out = {"info": int(ginfo), "relres": relres}
+        assert relres < 1e-4
+        return out
+
+    stage(res, "gmres_convdiff", convdiff_stage)
+
+    # ---- 6. svds + kexpm (config 4, f32 on chip) --------------------------
+    def svd_expm_stage():
+        import scipy.linalg as sla
+
+        # svds on the nonsymmetric convection-diffusion operator vs the
+        # dense SVD oracle (small enough for an exact host check)
+        from lightkrylov_tpu.models import ConvectionDiffusion2D
+
+        m = 48
+        cd = ConvectionDiffusion2D(m, dtype=jnp.float32)
+        u0 = jnp.ones((m, m), jnp.float32)
+        U, S, V, sres, sinfo, _ = lk.svds(
+            cd, 4, u0=u0, kdim=20, tolerance=1e-4)  # f32 residual floor
+        Ad = np.asarray(cd.dense()) if hasattr(cd, "dense") else None
+        if Ad is not None:
+            s_ref = np.linalg.svd(Ad, compute_uv=False)[:4]
+            s_err = float(np.abs(np.asarray(S) - s_ref).max()
+                          / np.abs(s_ref).max())
+        else:
+            s_err = -1.0
+        # kexpm vs dense expm on a small dense operator
+        rngl = np.random.default_rng(7)
+        Am = (rngl.standard_normal((96, 96)) * 0.25).astype(np.float32)
+        opd = lk.DenseOperator(jnp.asarray(Am))
+        v = jnp.asarray(rngl.standard_normal(96).astype(np.float32))
+        c, kinfo = lk.kexpm(opd, v, tau=0.8, tol=1e-6)
+        ref = sla.expm(0.8 * Am.astype(np.float64)) @ np.asarray(v)
+        k_err = float(np.linalg.norm(np.asarray(c) - ref)
+                      / np.linalg.norm(ref))
+        log(f"svds convdiff 48^2: info={sinfo} sig rel err={s_err:.2e}; "
+            f"kexpm vs dense expm rel err={k_err:.2e} (info={kinfo})")
+        out = {"svds_info": int(sinfo), "svds_sigma_relerr": s_err,
+               "kexpm_relerr": k_err, "kexpm_info": int(kinfo)}
+        assert s_err < 1e-3 and k_err < 1e-4
+        return out
+
+    stage(res, "svds_kexpm", svd_expm_stage)
+
+    # ---- 7. 1-chip 10M-DoF eighs sweep (eigs side of the weak-scaling
+    #         baseline; one fixed 32-step Lanczos cycle) -------------------
+    def eighs_stage():
+        n = 3072
+        opp = Poisson2D(n, dtype=jnp.float32)
+        x0 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+        t0 = time.time()
+        evals, evecs, eres, einfo, _ = lk.eighs(
+            opp, 4, x0=x0, kdim=32, tolerance=0.0,
+            options=lk.EigsOptions(maxiter=1))
+        t_first = time.time() - t0
+        t0 = time.perf_counter()
+        evals, evecs, eres, einfo, _ = lk.eighs(
+            opp, 4, x0=x0, kdim=32, tolerance=0.0,
+            options=lk.EigsOptions(maxiter=1))
+        t_sweep = time.perf_counter() - t0
+        # analytic leading eigenvalue of the (scaled) 5-point Laplacian
+        h = 1.0 / (n + 1)
+        lam_max = (2.0 / h**2) * (2.0 - np.cos(np.pi * n * h)
+                                  - np.cos(np.pi * n * h))
+        rel = float(abs(np.asarray(evals)[0] - lam_max) / lam_max)
+        log(f"eighs sweep @ 3072^2: {t_sweep:.3f}s (first {t_first:.1f}s); "
+            f"lam_1 rel dev vs analytic {rel:.2e}")
+        return {"sweep_s": round(t_sweep, 3),
+                "first_incl_compile_s": round(t_first, 1),
+                "lam1_rel_dev": rel}
+
+    stage(res, "eighs_3072", eighs_stage)
+
     out_path = os.path.join(os.path.dirname(__file__), "results_tpu.json")
     with open(out_path, "a") as f:
         f.write(json.dumps(res) + "\n")
