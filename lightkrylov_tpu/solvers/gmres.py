@@ -96,7 +96,11 @@ def _gmres_impl(A, b, x0, M, tol, kdim, maxiter, transpose, flexible, sanity_che
         V = vectors.zeros_basis(b, kdim + 1)
         safe = jnp.where(beta == 0, 1.0, beta)
         V = vectors.set_column(V, 0, vectors.scal((1.0 / safe).astype(rdt), r))
-        Z = vectors.zero_basis_like(V)  # only used when flexible
+        # Z (preconditioned directions) is only needed by FGMRES; carrying
+        # the unused (kdim+1)-column buffer through the while_loop when not
+        # flexible risks a pass-through copy per iteration (1.2 GB at the
+        # 10M-DoF scale) — use a scalar placeholder instead (static choice).
+        Z = vectors.zero_basis_like(V) if flexible else jnp.zeros((), dt)
         R = jnp.zeros((kdim, kdim), dt)
         c = jnp.zeros((kdim,), rdt)
         s = jnp.zeros((kdim,), dt)
