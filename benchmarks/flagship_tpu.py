@@ -312,6 +312,31 @@ def main():
 
     stage(res, "eighs_3072", eighs_stage)
 
+    # ---- 8. Roessler OTD modes at the fixed point (f32) -------------------
+    # Reference anchor: instantaneous reduced-operator eigenvalue real
+    # parts = 0.097000856 (x2) at the r=2 OTD subspace
+    # (example/roessler/roessler_OTD.f90:31).
+    def otd_stage():
+        from lightkrylov_tpu.models import otd_evolve, roessler_rhs
+        from lightkrylov_tpu.models.roessler import roessler_fixed_points
+
+        fp_minus, _ = roessler_fixed_points()
+        U0 = jnp.asarray(np.linalg.qr(
+            rng.standard_normal((3, 2)))[0].astype(np.float32))
+        x, U, Lr, lyap = otd_evolve(
+            roessler_rhs, jnp.asarray(np.asarray(fp_minus, np.float32)),
+            U0, 50.0, 20000)
+        w = np.linalg.eigvals(np.asarray(jax.device_get(Lr)))
+        dev = float(np.abs(np.sort(w.real) - 0.097000856).max())
+        log(f"OTD fixed point f32: eig real parts "
+            f"{np.sort(w.real)} (anchor 0.097000856, dev {dev:.2e})")
+        out = {"eig_real": [float(v) for v in np.sort(w.real)],
+               "anchor_dev": dev}
+        assert dev < 1e-5, "OTD eigenvalues off the reference anchor"
+        return out
+
+    stage(res, "roessler_otd", otd_stage)
+
     out_path = os.path.join(os.path.dirname(__file__), "results_tpu.json")
     with open(out_path, "a") as f:
         f.write(json.dumps(res) + "\n")
