@@ -142,3 +142,22 @@ def test_prefix_projection_block_case(key):
     cp = vectors.linear_combination_prefix(X, pre, 6, chunk=4)
     for a, b in zip(jax.tree_util.tree_leaves(cp), jax.tree_util.tree_leaves(cf)):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_reduction_lowering_invariants():
+    """Pin the two TPU-critical lowerings (CLAUDE.md invariants):
+    1. innerprod contracts at HIGHEST precision (default MXU f32 is
+       bf16-pass arithmetic: ~3 digits lost per CGS pass on chip);
+    2. the vector-coefficient linear_combination lowers as a VPU
+       multiply+reduce, NOT a dot (XLA's vector-matrix dot runs 6x below
+       HBM bandwidth on TPU — results_tpu.json probe "cgs_cost")."""
+    X = jnp.zeros((8, 64), jnp.float32)
+    y = jnp.zeros((64,), jnp.float32)
+    hlo_ip = jax.jit(vectors.innerprod).lower(X, y).as_text()
+    assert "precision = [HIGHEST, HIGHEST]" in hlo_ip.replace("<", " ").replace(">", " ") \
+        or "HIGHEST" in hlo_ip, "innerprod lost HIGHEST precision"
+
+    v = jnp.zeros((8,), jnp.float32)
+    hlo_lc = jax.jit(vectors.linear_combination).lower(X, v).as_text()
+    assert "dot_general" not in hlo_lc, \
+        "vector linear_combination regressed to a dot lowering"
