@@ -418,3 +418,27 @@ def test_checkpoint_roundtrip_sharded(mesh):
     AX = jax.vmap(op.matvec)(lead)
     XH = jnp.einsum("iyx,ik->kyx", X2, H2)
     assert np.linalg.norm(np.asarray(AX - XH)) < 1e-10
+
+
+def test_gmres_large_kdim_prefix_on_sharded(mesh):
+    """kdim >= MIN_PREFIX_COLS engages the active-prefix chunked CGS2 on a
+    ROW-SHARDED operator: the chunked innerprods/updates must compose with
+    GSPMD sharding (per-chunk all-reduces) and match the serial solve."""
+    from lightkrylov_tpu.krylov import gram_schmidt
+    from lightkrylov_tpu.models import Poisson2D
+    from lightkrylov_tpu.parallel import ShardedPoisson2D
+
+    assert 64 >= gram_schmidt.MIN_PREFIX_COLS
+    nx, ny = 32, 64
+    rng = np.random.default_rng(21)
+    b_host = rng.standard_normal((ny, nx)).astype(np.float32)
+    op_d = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float32)
+    bd = distribute(jnp.asarray(b_host), mesh, P(mesh.axis_names[0], None))
+    xd, info_d, _ = lk.gmres(op_d, bd, rtol=1e-6,
+                             options=lk.GMRESOptions(kdim=64, maxiter=4))
+    op_s = Poisson2D(nx, ny, dtype=jnp.float32)
+    xs, info_s, _ = lk.gmres(op_s, jnp.asarray(b_host), rtol=1e-6,
+                             options=lk.GMRESOptions(kdim=64, maxiter=4))
+    r = np.asarray(op_s.matvec(jnp.asarray(np.asarray(xd)))) - b_host
+    assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b_host)
+    assert np.allclose(np.asarray(xd), np.asarray(xs), atol=1e-4)
