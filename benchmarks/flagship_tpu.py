@@ -103,8 +103,13 @@ def main():
         prop = GLPropagator(gl, tau=tau, n_steps=10)
         x0 = jnp.asarray(rng.standard_normal((2, nx)).astype(np.float32))
         tol = 1e-6
+        # kdim = 2.5x the realified 2*nev: the conjugate-pair structure of
+        # the realified spectrum halves the effective subspace margin, so
+        # the literal 2x doubling of the reference's kdim=16 left the last
+        # pair unconverged (15/16 in 250 s); 40 converges 16/16 in 43 s
+        # (chip sweep, results_tpu.json probe "gl_kdim_sweep").
         evals, evecs, resid, info, meta = lk.eigs(
-            prop, 2 * nev, x0=x0, kdim=2 * kdim, tolerance=tol,
+            prop, 2 * nev, x0=x0, kdim=40, tolerance=tol,
             options=lk.EigsOptions(maxiter=200))
         resid = np.asarray(resid)
         conv = resid < tol
