@@ -82,9 +82,12 @@ def cg(A, b, x0=None, rtol=None, atol=None, preconditioner=None,
     M = aslinop(preconditioner) if preconditioner is not None else IdentityOperator()
     if x0 is None:
         x0 = vectors.zero_like(b)
-    tol = jnp.asarray(atol + rtol * float(vectors.norm(b)), rdt)
+    # tol stays on device; all metadata fetched in ONE device_get (each
+    # separate float()/int() is a host sync — 10-50 ms on the axon relay)
+    tol = (atol + rtol * vectors.norm(b)).astype(rdt)
 
     x, res, hist, k = _cg_impl(A, b, x0, M, tol, opts.maxiter)
+    res, hist, k, tol = jax.device_get((res, hist, k, tol))
     res, k = float(res), int(k)
     converged = res < float(tol)
     info = k if converged else -k

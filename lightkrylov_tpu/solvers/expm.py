@@ -98,6 +98,8 @@ def kexpm(A, b, tau, tol: float | None = None, transpose: bool = False,
         tol = constants.atol(rdt)  # (reference: krylov_exptA default, :379)
 
     c, err, k, broke = _kexpm_impl(A, b, tau, jnp.asarray(tol, rdt), kdim, transpose)
+    # one batched device_get (each separate scalar fetch is a host sync)
+    err, k, broke = jax.device_get((err, k, broke))
     err, k, broke = float(err), int(k), bool(broke)
     if broke:
         info = -2
@@ -208,6 +210,7 @@ def kexpm_mat(A, B, tau, tol: float | None = None, transpose: bool = False,
         tol = constants.atol(rdt)
     C, err, k_used = _kexpm_mat_impl(A, B, tau, jnp.asarray(tol, rdt), kdim, p,
                                      transpose)
+    err, k_used = jax.device_get((err, k_used))
     err, k_used = float(err), int(k_used)
     info = k_used if err < tol else -1
     return C, info

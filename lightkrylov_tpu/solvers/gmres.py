@@ -152,12 +152,19 @@ def _solve(A, b, x0, rtol, atol, preconditioner, options, transpose, flexible, m
     M = aslinop(preconditioner) if preconditioner is not None else IdentityOperator()
     if x0 is None:
         x0 = vectors.zero_like(b)
-    tol = jnp.asarray(atol + rtol * float(vectors.norm(b)), rdt)
+    # tol stays ON DEVICE (norm is jitted): no host sync before the solve
+    tol = (atol + rtol * vectors.norm(b)).astype(rdt)
 
     x, res, hist, nin, n_iter, outer = _gmres_impl(
         A, b, x0, M, tol, opts.kdim, opts.maxiter, transpose, flexible,
         opts.sanity_check,
     )
+    # ONE batched device_get for all metadata: each separate float()/int()
+    # is a host sync, and on the axon relay those cost 10-50 ms each — the
+    # round-3 "gmres_shell_split" probe measured 176 ms of shell overhead
+    # per call from exactly these fetches (vs 233 ms of device compute).
+    res, hist, nin, n_iter, outer, tol = jax.device_get(
+        (res, hist, nin, n_iter, outer, tol))
     res = float(res)
     nin = int(nin)
     converged = res < float(tol)
