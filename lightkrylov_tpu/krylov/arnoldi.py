@@ -38,7 +38,8 @@ def _count_steps(A, info, kstart, kend, n_per_step, kind):
         return
     try:
         i, k0, k1 = int(info), int(kstart), int(kend)
-    except Exception:  # traced scalars (called under jit): skip
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerIntegerConversionError):  # traced: skip
         return
     stop = abs(i) if i != 0 else k1
     count_applications(A, max(0, stop - k0 + 1) * n_per_step, kind)
@@ -192,6 +193,7 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
             stop = -(-abs(i) // p) if i != 0 else blk1  # ceil to block index
             count_applications(A, max(0, stop - blk0 + 1) * p,
                                "rmatvec" if transpose else "matvec")
-        except Exception:  # traced scalars: skip
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerIntegerConversionError):  # traced: skip
             pass
     return X, H, info

@@ -101,6 +101,7 @@ def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None)
             steps = max(0, (abs(i) if i != 0 else k1) - k0 + 1)
             count_applications(A, steps, "matvec")
             count_applications(A, steps, "rmatvec")
-        except Exception:  # traced scalars: skip
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerIntegerConversionError):  # traced: skip
             pass
     return U, V, B, info

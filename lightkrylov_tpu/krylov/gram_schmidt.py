@@ -43,8 +43,44 @@ DEFAULT_CHUNK: int | None = 8
 #: while for kdim >= ~64 the saved traffic dominates the fixed cond cost.
 MIN_PREFIX_COLS: int = 48
 
+#: Sentinel distinguishing "chunk not given" (-> DEFAULT_CHUNK) from an
+#: explicit ``chunk=None`` (-> force the monolithic single-all-reduce path,
+#: the better trade on latency-bound multi-host meshes).
+_UNSET = object()
 
-def orthogonalize_against_basis(y, X, k=None, chunk=None):
+
+def _check_orthonormal_input(X) -> None:
+    """Eager orthonormality validation of the basis buffer (reference:
+    ``if_chk_orthonormal``, gram_schmidt.fypp:26-34 — logs when orthonormal,
+    ``stop_error`` otherwise).
+
+    Zero (unfilled) buffer columns are permitted: the check is
+    ``||X^H X - diag(live)||_F < rtol_sp`` with ``live`` flagging columns of
+    non-negligible norm, matching the zero-column buffer invariant.
+    """
+    import jax
+
+    from ..utils.logger import log_information, stop_error
+
+    G = vectors.gram(X)
+    if isinstance(G, jax.core.Tracer):
+        raise RuntimeError(
+            "check_orthonormal=True is an eager-only validation; it cannot "
+            "abort on traced data inside jit. Validate the basis outside "
+            "the jitted region instead.")
+    d = jnp.real(jnp.diagonal(G))
+    live = d > 0.5
+    defect = float(jnp.linalg.norm(G - jnp.diag(live.astype(G.dtype))))
+    if defect < constants.rtol(jnp.float32):
+        log_information(
+            "Input basis orthonormal. Remove this check unless necessary "
+            "for better performance", "krylov", "double_gram_schmidt_step")
+    else:
+        stop_error(f"Input basis not orthonormal (defect {defect:.3e}).",
+                   "krylov", "double_gram_schmidt_step")
+
+
+def orthogonalize_against_basis(y, X, k=None, chunk=_UNSET):
     """Single CGS pass: project ``y`` (vector or stacked block) against the
     basis buffer ``X`` and subtract.
 
@@ -56,8 +92,12 @@ def orthogonalize_against_basis(y, X, k=None, chunk=None):
     given, only basis chunks intersecting ``[0, k)`` are streamed from HBM
     (exact by the zero-column buffer invariant) — the reference's
     ``X(:k)`` growing projection without dynamic shapes.
+
+    ``chunk``: chunk width for the active-prefix reads; defaults to
+    ``DEFAULT_CHUNK``.  Pass ``chunk=None`` explicitly to force the
+    monolithic full-buffer path (one fused all-reduce per pass).
     """
-    if chunk is None:
+    if chunk is _UNSET:
         chunk = DEFAULT_CHUNK
     if k is None or chunk is None or \
             vectors.basis_size(X) < MIN_PREFIX_COLS:
@@ -72,7 +112,7 @@ def orthogonalize_against_basis(y, X, k=None, chunk=None):
 
 
 def double_gram_schmidt_step(y, X, return_info: bool = False, k=None,
-                             chunk=None):
+                             chunk=_UNSET, check_orthonormal: bool = False):
     """CGS2: two projection passes, coefficients summed
     (reference: ``double_gram_schmidt_step``, gram_schmidt.fypp:38-49,85-97).
 
@@ -83,15 +123,35 @@ def double_gram_schmidt_step(y, X, return_info: bool = False, k=None,
 
     Returns ``(y_orth, proj)`` with ``proj`` the summed coefficients.  With
     ``return_info=True`` a third element is appended: the 1-based index of
-    the first projected column that vanished (norm below the dtype's atol),
-    0 when none did — the reference's zero-vector flag
-    (gram_schmidt.fypp:127,171-173), which covers a zero column *inside* a
-    block projection that single-vector β-checks by callers would miss.
+    a vanished projected column (norm below the dtype's atol), 0 when none
+    did — the reference's zero-vector flag (gram_schmidt.fypp:127,171-173).
+    Intentional deviations from the reference's flag, documented here
+    because callers ported from reference logic read this value:
+
+    * the reference flags a zero *input* vector (pre-projection norm below
+      atol); this implementation checks the *post-CGS2* norm, which is
+      strictly stronger — it additionally catches inputs that lie inside
+      the span of ``X`` (the breakdown the callers actually care about);
+    * for blocks the reference's Fortran loop overwrites ``info`` and ends
+      up reporting the *last* vanished column index, while this
+      implementation reports the *first* (the earliest breakdown).
+
     The info value is a traced int32 scalar, usable inside jitted loops.
+
+    ``check_orthonormal``: optional input validation mirroring the
+    reference's ``if_chk_orthonormal`` flag (gram_schmidt.fypp:26-34): when
+    True, assert that ``X`` is orthonormal (zero buffer columns allowed by
+    the buffer invariant) and ``stop_error`` otherwise.  Unlike the
+    reference this defaults to **False**: the hot call sites here live
+    inside jitted ``while_loop`` bodies where a data-dependent host abort
+    cannot exist — the check is an eager-only debugging aid and raises at
+    trace time if requested under ``jit``.
 
     ``k``/``chunk``: active-prefix projection — see
     :func:`orthogonalize_against_basis`.
     """
+    if check_orthonormal:
+        _check_orthonormal_input(X)
     y1, p1 = orthogonalize_against_basis(y, X, k=k, chunk=chunk)
     y2, p2 = orthogonalize_against_basis(y1, X, k=k, chunk=chunk)
     if not return_info:

@@ -154,12 +154,19 @@ def adjoint(A: LinearOperator) -> LinearOperator:
 
 
 def aslinop(A) -> LinearOperator:
-    """Coerce a 2D array or callable into a :class:`LinearOperator`."""
+    """Coerce a 2D array or callable into a :class:`LinearOperator`.
+
+    Wrappers created here are marked ``_aslinop_wrapped`` so the call
+    counters key them by bare class name: solvers call ``aslinop`` on every
+    solve, and a fresh wrapper per call would otherwise fragment the counts
+    of a repeatedly-solved raw matrix across ``DenseOperator``,
+    ``DenseOperator#1``, ... instead of aggregating them.
+    """
     if isinstance(A, LinearOperator):
         return A
-    if callable(A):
-        return MatvecOperator(A)
-    return DenseOperator(jnp.asarray(A))
+    op = MatvecOperator(A) if callable(A) else DenseOperator(jnp.asarray(A))
+    op._aslinop_wrapped = True
+    return op
 
 
 # -- concrete operators ------------------------------------------------------

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants, vectors
-from ..linops import IdentityOperator, aslinop
+from ..linops import IdentityOperator, Preconditioner, aslinop
 from ..utils.logger import check_info
 from ..utils.options import CGOptions, SolverMetadata
 from ..utils.timer import count_applications, timed_fn
@@ -33,11 +33,21 @@ def _cg_impl(A, b, x0, M, tol, maxiter):
     dt = vectors.dtype_of(b)
     rdt = constants.real_dtype_of(dt)
 
+    def precond(r, k, res):
+        # iteration-aware interface shared by every preconditioned solver
+        # (reference: abstract_precond_*%apply(vec, [iter, current_residual,
+        # target_residual]), IterativeSolvers.fypp:80-95)
+        if isinstance(M, Preconditioner):
+            return M.apply(r, iteration=k, current_residual=res,
+                           target_residual=tol)
+        return M.matvec(r)
+
     r0 = vectors.axpby(1.0, b, -1.0, A.matvec(x0))
-    z0 = M.matvec(r0)
+    res_init = vectors.norm(r0).astype(rdt)
+    z0 = precond(r0, jnp.zeros((), jnp.int32), res_init)
     p0 = z0
     rz0 = vectors.dot(r0, z0)
-    res0 = vectors.norm(r0).astype(rdt)
+    res0 = res_init
     hist0 = jnp.zeros((maxiter,), rdt)
 
     def cond(carry):
@@ -51,11 +61,11 @@ def _cg_impl(A, b, x0, M, tol, maxiter):
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = vectors.axpby(1.0, x, alpha, p)
         r = vectors.axpby(1.0, r, -alpha, Ap)
-        z = M.matvec(r)
+        res = vectors.norm(r).astype(rdt)
+        z = precond(r, k + 1, res)
         rz_new = vectors.dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = vectors.axpby(1.0, z, beta, p)
-        res = vectors.norm(r).astype(rdt)
         hist = hist.at[k].set(res)
         return x, r, z, p, rz_new, k + 1, res, hist
 

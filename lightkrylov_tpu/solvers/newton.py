@@ -46,15 +46,26 @@ def dynamic_tol(target: float, rnorm: float, iteration: int) -> float:
 _INVPHI = (math.sqrt(5.0) - 1.0) / 2.0
 
 
-def _bisection_step(system, X, dx, f0, maxstep: int, atol: float):
+def _bisection_step(system, X, dx, f0, maxstep: int, atol: float,
+                    record=None):
     """Golden-section line search on the step length ``alpha`` in [0, 1]
     minimizing ``||F(X + alpha dx)||`` (reference: ``increment_bisection``,
     NewtonKrylov.fypp:422-525 — 4-point bracket, ``invphi`` contraction,
-    at most ``maxstep`` residual evaluations)."""
+    at most ``maxstep`` residual evaluations).
+
+    Every ``system.eval`` performed here is counted against the system's
+    operator counters and reported to ``record(rnorm, tol)`` so the metadata
+    carries one ``(residual, tolerance)`` entry per *eval*, bisection
+    included (reference: NewtonKrylov.fypp:44-65,221-242 — the metadata's
+    ``record`` is called for each ``sys%eval``)."""
 
     def fnorm(alpha):
         Xt = vectors.axpby(1.0, X, alpha, dx)
-        return float(vectors.norm(system.eval(Xt, atol)))
+        r = float(vectors.norm(system.eval(Xt, atol)))
+        count_applications(system, 1, "eval")
+        if record is not None:
+            record(r, atol)
+        return r
 
     a, b = 0.0, 1.0
     c = b - _INVPHI * (b - a)
@@ -104,14 +115,22 @@ def newton(system, X0, solver=None, rtol: float | None = None,
     if scheduler is None:
         scheduler = dynamic_tol
 
+    # one (residual, tolerance) entry per system.eval — bisection included
+    # (reference: NewtonKrylov.fypp:44-65,221-242)
+    eval_res: list[float] = []
+    eval_tol: list[float] = []
+
+    def record(r: float, t: float) -> None:
+        eval_res.append(r)
+        eval_tol.append(t)
+
     X = X0
     residual = system.eval(X, atol)
     count_applications(system, 1, "eval")
     rnorm = float(vectors.norm(residual))
+    record(rnorm, atol)
     target = atol + rtol * max(rnorm, 1.0)
 
-    res_hist = [rnorm]
-    tol_hist = []
     converged = rnorm < target  # lucky convergence (:325-332)
     n_iter = 0
 
@@ -119,7 +138,6 @@ def newton(system, X0, solver=None, rtol: float | None = None,
         if converged:
             break
         tol = scheduler(target, rnorm, i)
-        tol_hist.append(tol)
 
         J = system.jacobian(X, tol)  # re-linearize (:346)
         rhs = vectors.chsgn(residual)
@@ -137,7 +155,8 @@ def newton(system, X0, solver=None, rtol: float | None = None,
 
         if opts.ifbisect:
             alpha = _bisection_step(system, X, dx, rnorm,
-                                    opts.maxstep_bisection, atol)
+                                    opts.maxstep_bisection, atol,
+                                    record=record)
             X = vectors.axpby(1.0, X, alpha, dx)  # (:355-359)
         else:
             X = vectors.add(X, dx)
@@ -148,7 +167,7 @@ def newton(system, X0, solver=None, rtol: float | None = None,
         residual = system.eval(X, tol)
         count_applications(system, 1, "eval")
         rnorm = float(vectors.norm(residual))
-        res_hist.append(rnorm)
+        record(rnorm, tol)
         n_iter = i
         log_information(f"newton: iter {i}, |F| = {rnorm:.3e} (tol {tol:.1e})",
                         "solvers", "newton")
@@ -159,10 +178,9 @@ def newton(system, X0, solver=None, rtol: float | None = None,
             residual = system.eval(X, target)
             count_applications(system, 1, "eval")
             rnorm = float(vectors.norm(residual))
+            record(rnorm, target)
             if rnorm < target:
                 converged = True
-                res_hist.append(rnorm)
-                tol_hist.append(target)
                 log_information(
                     f"newton: converged after {i} iterations.",
                     "solvers", "newton")
@@ -178,7 +196,8 @@ def newton(system, X0, solver=None, rtol: float | None = None,
     info = n_iter if converged else -max(n_iter, 1)
     meta = NewtonMetadata(
         converged=converged, n_iter=n_iter, info=info,
-        residuals=np.asarray(res_hist), tolerances=np.asarray(tol_hist),
+        n_evals=len(eval_res),
+        residuals=np.asarray(eval_res), tolerances=np.asarray(eval_tol),
     )
     if opts.if_print_metadata:
         meta.print()

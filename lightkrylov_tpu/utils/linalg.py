@@ -170,12 +170,50 @@ def schur_select(A, select):
 
 def sqrtm(A, hermitian: bool = True):
     """Matrix square root of a positive-(semi)definite matrix via
-    eigendecomposition with negative-eigenvalue clipping — on-device
-    (reference: ``sqrtm``, Utils.fypp — SVD-based for semi-definite input)."""
+    eigendecomposition — on-device — returning ``(sqrtA, info)``
+    (reference: ``sqrtm``, submodule_utility_functions.fypp:123-163).
+
+    ``info`` follows the reference's convention: 0 for a (numerically)
+    positive-definite input, 1 when eigenvalues at or below ``10*atol``
+    were clipped to zero (positive *semi*-definite input) — so an
+    indefinite input is detectable instead of being silently projected.
+    ``info`` is a traced int32 under ``jit``, a Python int eagerly.
+
+    Eagerly, the reference's symmetry validation also runs:
+    ``0.5*max|A - A^H| > rtol`` is fatal (``stop_error``), ``> 10*atol``
+    logs a warning (submodule_utility_functions.fypp:133-144).  Under
+    ``jit`` the symmetry check is skipped (no data-dependent abort).
+    """
     A = jnp.asarray(A)
+    rdt = constants.real_dtype_of(A.dtype)
+    tol = 10.0 * constants.atol(rdt)
+    sym_err = 0.5 * jnp.max(jnp.abs(A - A.conj().T))
+    if not isinstance(sym_err, jax.core.Tracer):
+        err = float(sym_err)
+        if err > constants.rtol(rdt):
+            from .logger import stop_error
+
+            stop_error(
+                f"Input matrix is not Hermitian. 0.5*max|A - A^H| = {err:.2e}",
+                "utils", "sqrtm")
+        elif err > tol:
+            from .logger import log_warning
+
+            log_warning(
+                f"Input matrix is not exactly Hermitian. "
+                f"0.5*max|A - A^H| = {err:.2e}", "utils", "sqrtm")
     w, V = jnp.linalg.eigh(A)
-    w = jnp.clip(w, 0.0, None)
-    return (V * jnp.sqrt(w)) @ V.conj().T
+    clipped = w <= tol
+    info = jnp.any(clipped).astype(jnp.int32)
+    w = jnp.where(clipped, 0.0, w)
+    # HIGHEST precision: TPU f32 matmuls default to bf16-pass arithmetic
+    # (~3 digits lost); the k x k reconstruction is tiny, so full precision
+    # is free (repo invariant, CLAUDE.md "MXU precision").
+    sqrtA = jnp.matmul(V * jnp.sqrt(w), V.conj().T,
+                       precision=jax.lax.Precision.HIGHEST)
+    if not isinstance(info, jax.core.Tracer):
+        info = int(info)
+    return sqrtA, info
 
 
 def expm(A):

@@ -52,18 +52,29 @@ class CGOptions:
 @dataclass(frozen=True)
 class EigsOptions:
     """Options for eigs/eighs (reference: defaults kdim = 4*nev, tol = rtol,
-    IterativeSolvers.fypp:1023-1024)."""
+    IterativeSolvers.fypp:1023-1024).
+
+    ``checkpoint_every``/``checkpoint_path``: serialize the factorization
+    state (basis, projected matrix, restart indices, counters) every N
+    convergence checks; the solver's ``resume_from=`` argument restores it
+    — relay-wedge insurance the reference lacks (its restart capability is
+    algorithmic only; state is never persisted, SURVEY.md §5).
+    """
 
     kdim: int | None = None       # None -> 4 * nev
     maxiter: int = 20             # max Krylov-Schur restart cycles
     write_intermediate: bool = False
     outpost: str = "eigs_output.txt"
+    checkpoint_every: int = 0     # every N convergence checks; 0 = off
+    checkpoint_path: str | None = None
 
 
 @dataclass(frozen=True)
 class SVDSOptions:
     kdim: int | None = None
     maxiter: int = 20
+    checkpoint_every: int = 0     # every N convergence checks; 0 = off
+    checkpoint_path: str | None = None
 
 
 @dataclass(frozen=True)
@@ -117,10 +128,18 @@ class SolverMetadata:
 @dataclass
 class NewtonMetadata:
     """(reference: ``newton_*_metadata`` recording (residual, tol) per eval,
-    NewtonKrylov.fypp:44-65)."""
+    NewtonKrylov.fypp:44-65,221-242).
+
+    ``residuals`` and ``tolerances`` are parallel arrays with one entry per
+    ``system.eval`` call — the initial evaluation, every bisection
+    line-search probe, each post-update residual, and target-tolerance
+    recheck evaluations all appear, so ``n_evals == len(residuals)``
+    matches the system's operator eval counter exactly.
+    """
 
     converged: bool = False
     n_iter: int = 0
+    n_evals: int = 0
     info: int = 0
     residuals: np.ndarray = field(default_factory=lambda: np.zeros(0))
     tolerances: np.ndarray = field(default_factory=lambda: np.zeros(0))

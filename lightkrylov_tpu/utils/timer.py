@@ -229,6 +229,11 @@ def operator_label(A) -> str:
     lbl = getattr(A, "label", None)
     if lbl:
         return str(lbl)
+    if getattr(A, "_aslinop_wrapped", False):
+        # anonymous wrapper minted by aslinop() inside a solver call: key by
+        # bare class name so repeated solves with the same raw matrix or
+        # callable aggregate instead of fragmenting across #n suffixes
+        return type(A).__name__
     key = id(A)
     name = _instance_names.get(key)
     if name is None:

@@ -103,6 +103,37 @@ def test_newton_roessler_with_bisection():
     assert np.allclose(np.asarray(X), fp_minus, atol=1e-9)
 
 
+def test_newton_bisection_eval_accounting():
+    """Every system.eval — including the golden-section bisection probes —
+    appears in both the operator counters and the metadata's per-eval
+    (residual, tolerance) record (reference: NewtonKrylov.fypp:44-65,221-242
+    logs every sys%eval with its tolerance; bisection evals at :422-525)."""
+    from lightkrylov_tpu.utils import timer
+
+    sys = fixed_point_system()
+    X0 = jnp.asarray(np.array([0.0, -1.0, 0.1]))
+
+    timer.reset_counters()
+    opts = lk.NewtonOptions(ifbisect=False)
+    _, _, meta_plain = lk.newton(sys, X0, rtol=0.0, atol=1e-12, options=opts)
+    label = timer.operator_label(sys)
+    n_plain = timer.get_counter(f"{label}.eval")
+    assert n_plain == meta_plain.n_evals == len(meta_plain.residuals) \
+        == len(meta_plain.tolerances)
+
+    timer.reset_counters()
+    opts = lk.NewtonOptions(ifbisect=True, maxstep_bisection=5)
+    _, _, meta = lk.newton(sys, X0, rtol=0.0, atol=1e-12, options=opts)
+    label = timer.operator_label(sys)
+    n_bisect = timer.get_counter(f"{label}.eval")
+    assert n_bisect == meta.n_evals == len(meta.residuals) \
+        == len(meta.tolerances)
+    # the bisection probes (maxstep per Newton step) must be visible
+    assert n_bisect >= meta.n_iter * 5
+    # each eval's tolerance is recorded alongside its residual
+    assert np.all(meta.tolerances > 0)
+
+
 def test_newton_schedulers():
     """constant_tol vs dynamic_tol schedulers both converge
     (reference: NewtonKrylov.fypp:534-598)."""

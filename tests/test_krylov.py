@@ -386,3 +386,30 @@ def test_arnoldi_block_dynamic_kstart():
     AX = jax.vmap(A.matvec)(jax.tree.map(lambda l: l[:kdim], X1))
     XH = jnp.einsum("in,ik->kn", X1, H1)
     assert np.linalg.norm(np.asarray(AX) - np.asarray(XH.reshape(kdim, n))) < 1e-10
+
+
+def test_dgs_check_orthonormal_flag():
+    """The optional input-validation flag of double_gram_schmidt_step
+    (reference: if_chk_orthonormal, gram_schmidt.fypp:26-34): an
+    orthonormal basis passes (and the projection is unchanged), a
+    non-orthonormal basis is a hard stop, and requesting the check under
+    jit raises at trace time (eager-only validation)."""
+    from lightkrylov_tpu.krylov.gram_schmidt import double_gram_schmidt_step
+    from lightkrylov_tpu.utils.logger import LightKrylovError
+
+    rng = np.random.default_rng(17)
+    key = jax.random.PRNGKey(4)
+    X = vectors.rand_basis(key, vectors.zeros_basis(jnp.zeros(N), 6))
+    Q = lk.orthonormalize_basis(X)
+    # zero-padded buffer: unfilled columns allowed by the invariant
+    Qbuf = jax.tree.map(lambda l: jnp.concatenate([l, jnp.zeros_like(l[:2])]), Q)
+    y = jnp.asarray(rng.standard_normal(N))
+    y1, p1 = double_gram_schmidt_step(y, Qbuf)
+    y2, p2 = double_gram_schmidt_step(y, Qbuf, check_orthonormal=True)
+    assert np.allclose(np.asarray(y1), np.asarray(y2))
+    assert np.allclose(np.asarray(p1), np.asarray(p2))
+    with pytest.raises(LightKrylovError):
+        double_gram_schmidt_step(y, X, check_orthonormal=True)  # raw basis
+    with pytest.raises(RuntimeError):
+        jax.jit(lambda y, X: double_gram_schmidt_step(
+            y, X, check_orthonormal=True))(y, Qbuf)

@@ -198,6 +198,90 @@ def test_iteration_aware_preconditioner(rng):
     assert res < 10 * _tol(dtype)
 
 
+def test_cg_preconditioner_iteration_context(rng):
+    """CG routes Preconditioner.apply through the iteration-aware interface
+    (reference: abstract_precond_*%apply(vec, [iter, current_residual,
+    target_residual]), IterativeSolvers.fypp:80-95 — the interface of
+    *every* preconditioned solver, not just GMRES).
+
+    The preconditioner poisons its output with NaN unless a nonzero
+    target_residual was supplied: convergence therefore proves CG passed
+    the context instead of falling back to plain ``matvec`` (whose default
+    arguments would leave target_residual at 0)."""
+    dtype = np.float64
+    M_ = _rand(dtype, rng, (N, N))
+    A = M_ @ M_.conj().T + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+
+    class ContextRequiredJacobi(lk.Preconditioner):
+        _children = ("dinv",)
+        _static = ()
+
+        def __init__(self, dinv):
+            self.dinv = dinv
+
+        def apply(self, v, iteration=0, current_residual=0.0,
+                  target_residual=0.0):
+            poison = jnp.where(target_residual > 0, 1.0, jnp.nan)
+            return poison * self.dinv * v
+
+    M = ContextRequiredJacobi(jnp.asarray(1.0 / np.diag(A)))
+    x, info, meta = lk.cg(lk.DenseOperator(jnp.asarray(A), is_hermitian=True),
+                          jnp.asarray(b), preconditioner=M)
+    assert meta.converged and info > 0
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+
+
+def test_fgmres_iteration_varying_preconditioner(rng):
+    """FGMRES's distinguishing feature: a per-iteration *varying*
+    preconditioner is legal because the preconditioned directions Z are
+    stored and the update is built from them (reference:
+    fgmres.fypp:158-207).  Here M_k genuinely changes direction with the
+    inner iteration index (damped Jacobi plus an iteration-dependent
+    circular shift), so Z differs from V by more than a scaling — plain
+    right-GMRES's fixed-M update formula does not apply."""
+    dtype = np.float64
+    D = np.diag(np.linspace(1, 200, N)).astype(dtype)
+    A = D + 0.5 * _rand(dtype, rng, (N, N))
+    b = _rand(dtype, rng, (N,))
+    x_oracle = np.linalg.solve(A, b)
+
+    class VaryingPrecond(lk.Preconditioner):
+        _children = ("dinv",)
+        _static = ()
+
+        def __init__(self, dinv):
+            self.dinv = dinv
+
+        def apply(self, v, iteration=0, current_residual=0.0,
+                  target_residual=0.0):
+            z = self.dinv * v
+            # iteration-dependent direction change: Z != V materially
+            return z + 0.2 * jnp.roll(z, iteration + 1)
+
+    M = VaryingPrecond(jnp.asarray(1.0 / np.diag(D)))
+    opts = lk.GMRESOptions(kdim=40, maxiter=10)
+    x, info, meta = lk.fgmres(jnp.asarray(A), jnp.asarray(b),
+                              preconditioner=M, options=opts)
+    assert meta.converged and info > 0
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 10 * _tol(dtype)
+    assert np.allclose(np.asarray(x), x_oracle, atol=1e-6)
+    # Plain right-GMRES applies M once to the *accumulated* correction
+    # (gmres.fypp:201-202), which is wrong for a varying M: its first
+    # restart cycle must end with a (true-residual) estimate worse than
+    # FGMRES achieves at the same inner-iteration budget.
+    xg, _, meta_g = lk.gmres(jnp.asarray(A), jnp.asarray(b),
+                             preconditioner=M,
+                             options=lk.GMRESOptions(kdim=40, maxiter=1))
+    res_g = np.linalg.norm(A @ np.asarray(xg) - b) / np.linalg.norm(b)
+    xf, _, _ = lk.fgmres(jnp.asarray(A), jnp.asarray(b), preconditioner=M,
+                         options=lk.GMRESOptions(kdim=40, maxiter=1))
+    res_f = np.linalg.norm(A @ np.asarray(xf) - b) / np.linalg.norm(b)
+    assert res_f < res_g
+
+
 def test_gmres_large_kdim_prefix_path():
     """kdim >= MIN_PREFIX_COLS engages active-prefix chunked CGS2 inside
     the jitted GMRES core; result must match the monolithic path (the

@@ -140,16 +140,30 @@ def test_sqrtm_posdef(dtype_dp):
     if np.issubdtype(np.dtype(dtype_dp), np.complexfloating):
         M = M + 1j * rng.standard_normal((16, 16))
     A = (M @ M.conj().T + 16 * np.eye(16)).astype(dtype_dp)
-    S = np.asarray(linalg.sqrtm(jnp.asarray(A)))
+    S, info = linalg.sqrtm(jnp.asarray(A))
+    S = np.asarray(S)
     assert np.allclose(S @ S, A, atol=1e-10)
+    assert info == 0  # positive definite (submodule_utility_functions.fypp:151-158)
 
 
 def test_sqrtm_semidefinite():
     rng = np.random.default_rng(1)
     M = rng.standard_normal((16, 4))
     A = M @ M.T  # rank 4 PSD
-    S = np.asarray(linalg.sqrtm(jnp.asarray(A)))
+    S, info = linalg.sqrtm(jnp.asarray(A))
+    S = np.asarray(S)
     assert np.allclose(S @ S, A, atol=1e-10)
+    assert info == 1  # semi-definite flagged (submodule_utility_functions.fypp:156)
+
+
+def test_sqrtm_non_hermitian_fatal():
+    """Symmetry validation is fatal beyond rtol (reference:
+    submodule_utility_functions.fypp:133-144)."""
+    import pytest
+
+    A = np.eye(8) + np.triu(np.ones((8, 8)), 1)  # grossly non-symmetric
+    with pytest.raises(Exception):
+        linalg.sqrtm(jnp.asarray(A))
 
 
 def test_givens_rotation_annihilates(dtype):
