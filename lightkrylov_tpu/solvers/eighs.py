@@ -29,7 +29,7 @@ import numpy as np
 from .. import constants, vectors
 from ..krylov.lanczos import initialize_lanczos, lanczos
 from ..linops import aslinop
-from .eigs import _reconstruct
+from .eigs import _DriverCheckpointer, _reconstruct, _resume_driver_state
 from ..utils import linalg
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
@@ -53,11 +53,16 @@ def _thick_restart_compress(X, V_keep, diag_w, coupling):
 @timed_fn("eighs", "IterativeSolvers")
 def eighs(A, nev: int, x0=None, kdim: int | None = None,
           tolerance: float | None = None, options: EigsOptions | None = None,
-          key=None, check_every: int | None = None):
+          key=None, check_every: int | None = None,
+          resume_from: str | None = None):
     """Leading eigenpairs of a symmetric/Hermitian operator ->
     ``(eigvals, eigvecs, residuals, info, metadata)``; eigvals real,
     sorted descending (reference: ``eighs``, eighs.fypp:28-123; restart
-    cycles bounded by ``options.maxiter``)."""
+    cycles bounded by ``options.maxiter``).
+
+    ``options.checkpoint_every``/``checkpoint_path`` + ``resume_from``:
+    persist/restore ``(X, T, kstart, cycle, niter)`` at sweep/restart
+    boundaries (see :func:`~lightkrylov_tpu.solvers.eigs.eigs`)."""
     A = aslinop(A)
     opts = options or EigsOptions()
     if kdim is None:
@@ -78,10 +83,22 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
 
     niter = 0
     kstart = 1
+    cycle0 = 0
+    ckpt = _DriverCheckpointer(opts.checkpoint_every, opts.checkpoint_path)
+    if resume_from is not None:
+        st = _resume_driver_state(
+            {"X": X, "H": T, "kstart": np.zeros((), np.int64),
+             "cycle": np.zeros((), np.int64), "niter": np.zeros((), np.int64)},
+            resume_from)
+        X, T = st["X"], st["H"]
+        kstart, cycle0, niter = st["kstart"], st["cycle"], st["niter"]
+        log_information(
+            f"eighs: resumed from {resume_from} (cycle {cycle0}, "
+            f"kstart {kstart}, {niter} matvecs done)", "solvers", "eighs")
     res_history = []
     invariant = False
     n_conv = 0
-    for cycle in range(opts.maxiter):
+    for cycle in range(cycle0, opts.maxiter):
         k = kstart
         while k <= kdim:
             kend = min(kdim, k + stride - 1)
@@ -106,8 +123,13 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
             n_conv = int(np.sum(r[:nev] < tol))
             res_history.append(r[: min(nev, len(r))].copy())
             evals, evecs, res, k_final = w, V, r, k_eff
+            ckpt.check()
             if n_conv >= nev or invariant:
                 break
+            if kend < kdim:
+                ckpt.save({"X": X, "H": T, "kstart": np.int64(kend + 1),
+                           "cycle": np.int64(cycle),
+                           "niter": np.int64(niter)})
             k = kend + 1
         if n_conv >= nev or invariant:
             break
@@ -132,6 +154,9 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
             X = vectors.set_column(X, n, Xres)
             T = T_new
             kstart = n + 1
+            ckpt.save({"X": X, "H": T, "kstart": np.int64(kstart),
+                       "cycle": np.int64(cycle + 1),
+                       "niter": np.int64(niter)})
             log_information(
                 f"eighs: thick restart cycle {cycle + 1}, kept n={n}, "
                 f"{n_conv}/{nev} converged", "solvers", "eighs")

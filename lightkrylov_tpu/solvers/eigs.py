@@ -97,10 +97,57 @@ def _ritz_residuals(H, evecs, k):
     return beta * np.abs(evecs[-1, :])
 
 
+class _DriverCheckpointer:
+    """Checkpoint cadence + persistence shared by the eigen drivers.
+
+    The reference's restart capability is algorithmic only (kstart/kend +
+    Krylov-Schur compression; state never serialized —
+    BaseKrylov.fypp:714-837, SURVEY.md §5); this adds the serialization so
+    an interrupted multi-cycle run (e.g. a wedged TPU relay) resumes from
+    the last safe sweep boundary instead of from scratch.
+
+    ``every`` counts convergence checks; state is written at the next *safe*
+    boundary — one where re-entering the driver loop with the stored
+    ``(kstart, cycle)`` reproduces the uninterrupted run exactly.  Saves are
+    io-rank-gated; multi-host sharded state should use the Orbax backend.
+    """
+
+    def __init__(self, every: int, path):
+        self.every = int(every or 0)
+        self.path = path
+        self._since = 0
+
+    def check(self) -> None:
+        self._since += 1
+
+    @property
+    def due(self) -> bool:
+        return (self.every > 0 and self.path is not None
+                and self._since >= self.every)
+
+    def save(self, state: dict) -> None:
+        if not self.due:
+            return
+        from ..utils.checkpoint import save_checkpoint
+
+        if constants.io_rank():
+            save_checkpoint(state, self.path)
+        self._since = 0
+
+
+def _resume_driver_state(template: dict, path: str) -> dict:
+    from ..utils.checkpoint import load_checkpoint
+
+    st = load_checkpoint(template, path)
+    for k in ("kstart", "cycle", "niter"):
+        st[k] = int(st[k])
+    return st
+
+
 @timed_fn("eigs", "IterativeSolvers")
 def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None = None,
          transpose: bool = False, select=None, options: EigsOptions | None = None,
-         key=None, check_every: int | None = None):
+         key=None, check_every: int | None = None, resume_from: str | None = None):
     """Leading eigenpairs of a general square operator ->
     ``(eigvals, eigvecs, residuals, info, metadata)``.
 
@@ -109,6 +156,11 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     the matching Ritz residual norms, ``info`` the number of converged pairs
     (negative if not converged within ``maxiter`` restart cycles)
     (reference: ``eigs``, IterativeSolvers.fypp:971-1143).
+
+    ``options.checkpoint_every``/``checkpoint_path`` persist the
+    factorization state ``(X, H, kstart, cycle, niter)`` at sweep/restart
+    boundaries; ``resume_from=`` restores it and continues the run
+    (``x0`` then only supplies the buffer template/shardings).
     """
     A = aslinop(A)
     opts = options or EigsOptions()
@@ -136,13 +188,25 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     X, H = initialize_arnoldi(seed, kdim)
 
     kstart = 1
+    cycle0 = 0
     n_conv = 0
     niter = 0
+    ckpt = _DriverCheckpointer(opts.checkpoint_every, opts.checkpoint_path)
+    if resume_from is not None:
+        st = _resume_driver_state(
+            {"X": X, "H": H, "kstart": np.zeros((), np.int64),
+             "cycle": np.zeros((), np.int64), "niter": np.zeros((), np.int64)},
+            resume_from)
+        X, H = st["X"], st["H"]
+        kstart, cycle0, niter = st["kstart"], st["cycle"], st["niter"]
+        log_information(
+            f"eigs: resumed from {resume_from} (cycle {cycle0}, "
+            f"kstart {kstart}, {niter} matvecs done)", "solvers", "eigs")
     res_history = []
     evals = evecs = res = None
     invariant = False
 
-    for cycle in range(opts.maxiter):
+    for cycle in range(cycle0, opts.maxiter):
         k = kstart
         while k <= kdim:
             kend = min(kdim, k + stride - 1)
@@ -168,8 +232,16 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             if opts.write_intermediate and constants.io_rank():
                 _write_intermediate(opts.outpost, w, r)
             evals, evecs, res, k_final = w, V, r, k_eff
+            ckpt.check()
             if n_conv >= nev or invariant:
                 break
+            if kend < kdim:
+                # mid-cycle sweep boundary: resuming re-enters this cycle
+                # at k = kend + 1
+                ckpt.save({"X": X, "H": H,
+                           "kstart": np.int64(kend + 1),
+                           "cycle": np.int64(cycle),
+                           "niter": np.int64(niter)})
             k = kend + 1
         if n_conv >= nev or invariant:
             break
@@ -177,6 +249,10 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             # Krylov-Schur restart (:1099-1100)
             X, H, n = krylov_schur(X, H, select)
             kstart = n + 1
+            # restart boundary: resuming starts the next cycle at n + 1
+            ckpt.save({"X": X, "H": H, "kstart": np.int64(kstart),
+                       "cycle": np.int64(cycle + 1),
+                       "niter": np.int64(niter)})
             log_information(
                 f"eigs: restart cycle {cycle + 1}, compressed to n={n}, "
                 f"{n_conv}/{nev} converged", "solvers", "eigs")

@@ -27,7 +27,7 @@ import numpy as np
 from .. import constants, vectors
 from ..krylov.bidiag import bidiagonalization, initialize_bidiag
 from ..linops import aslinop
-from .eigs import _reconstruct
+from .eigs import _DriverCheckpointer, _reconstruct, _resume_driver_state
 from ..utils import linalg
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import SVDSOptions, SolverMetadata
@@ -39,11 +39,16 @@ __all__ = ["svds"]
 @timed_fn("svds", "IterativeSolvers")
 def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
          tolerance: float | None = None, options: SVDSOptions | None = None,
-         key=None, check_every: int | None = None):
+         key=None, check_every: int | None = None,
+         resume_from: str | None = None):
     """Leading singular triplets -> ``(U, S, V, residuals, info, metadata)``
     with ``U``/``V`` stacked bases of ``nsv`` left/right singular vectors and
     ``S`` descending (reference: ``svds``, svd_solvers.fypp:28-119; restart
-    cycles bounded by ``options.maxiter``)."""
+    cycles bounded by ``options.maxiter``).
+
+    ``options.checkpoint_every``/``checkpoint_path`` + ``resume_from``:
+    persist/restore ``(U, V, B, kstart, cycle, niter)`` at sweep/restart
+    boundaries (see :func:`~lightkrylov_tpu.solvers.eigs.eigs`)."""
     A = aslinop(A)
     opts = options or SVDSOptions()
     if kdim is None:
@@ -66,10 +71,22 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
 
     niter = 0
     kstart = 1
+    cycle0 = 0
+    ckpt = _DriverCheckpointer(opts.checkpoint_every, opts.checkpoint_path)
+    if resume_from is not None:
+        st = _resume_driver_state(
+            {"U": U, "V": V, "B": B, "kstart": np.zeros((), np.int64),
+             "cycle": np.zeros((), np.int64), "niter": np.zeros((), np.int64)},
+            resume_from)
+        U, V, B = st["U"], st["V"], st["B"]
+        kstart, cycle0, niter = st["kstart"], st["cycle"], st["niter"]
+        log_information(
+            f"svds: resumed from {resume_from} (cycle {cycle0}, "
+            f"kstart {kstart}, {niter} sweeps done)", "solvers", "svds")
     res_history = []
     invariant = False
     n_conv = 0
-    for cycle in range(opts.maxiter):
+    for cycle in range(cycle0, opts.maxiter):
         k = kstart
         while k <= kdim:
             kend = min(kdim, k + stride - 1)
@@ -93,8 +110,14 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
             n_conv = int(np.sum(r[:nsv] < tol))
             res_history.append(r[: min(nsv, len(r))].copy())
             svals, umat, vmat, res, k_final = s, um, vm, r, k_eff
+            ckpt.check()
             if n_conv >= nsv or invariant:
                 break
+            if kend < kdim:
+                ckpt.save({"U": U, "V": V, "B": B,
+                           "kstart": np.int64(kend + 1),
+                           "cycle": np.int64(cycle),
+                           "niter": np.int64(niter)})
             k = kend + 1
         if n_conv >= nsv or invariant:
             break
@@ -121,6 +144,9 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
             B_new[n, :n] = beta * vmat[kdim - 1, :n]
             B = jnp.asarray(B_new)
             kstart = n + 1
+            ckpt.save({"U": U, "V": V, "B": B, "kstart": np.int64(kstart),
+                       "cycle": np.int64(cycle + 1),
+                       "niter": np.int64(niter)})
             log_information(
                 f"svds: thick restart cycle {cycle + 1}, kept n={n}, "
                 f"{n_conv}/{nsv} converged", "solvers", "svds")

@@ -32,9 +32,15 @@ def _flatten_with_paths(tree):
 
 
 def save_checkpoint(state, path: str) -> None:
-    """Serialize a pytree of arrays/scalars to ``path`` (.npz)."""
+    """Serialize a pytree of arrays/scalars to ``path`` (.npz).
+
+    Device fetches go through :func:`~lightkrylov_tpu.utils.linalg.to_host`
+    so complex leaves are split re/im inside one jitted call (direct complex
+    D2H is UNIMPLEMENTED on the axon TPU plugin)."""
+    from .linalg import to_host
+
     keys, leaves, _ = _flatten_with_paths(state)
-    arrays = {f"{i:04d}|{k}": np.asarray(jax.device_get(l))
+    arrays = {f"{i:04d}|{k}": to_host(l)
               for i, (k, l) in enumerate(zip(keys, leaves))}
     np.savez(path, **arrays)
 

@@ -258,3 +258,94 @@ def test_svds_thick_restart(dtype_dp):
         u = np.asarray(vectors.get_column(U, i))
         v = np.asarray(vectors.get_column(V, i))
         assert np.linalg.norm(A @ v - float(S[i]) * u) < 1e-7
+
+
+# -- driver-integrated checkpoint / resume (VERDICT r3 item 7) ----------------
+
+def test_eigs_checkpoint_resume(tmp_path, dtype_dp):
+    """Interrupt-at-cycle-c + resume reproduces the uninterrupted run: the
+    checkpoint stores (X, H, kstart, cycle, niter) at restart boundaries
+    and resume_from continues the identical trajectory (the serialization
+    the reference lacks — its restart algebra at BaseKrylov.fypp:714-837
+    is matched, persistence is new)."""
+    dtype = dtype_dp
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        pytest.skip("real-operator restart fixture")
+    op, exact = _rotation_spectrum_op(dtype)
+    nev, kdim = 4, 12
+    x0 = vectors.rand_like(jax.random.PRNGKey(3), jnp.zeros(N, dtype))
+
+    e_full, _, _, _, m_full = lk.eigs(
+        op, nev, x0=x0, kdim=kdim, tolerance=1e-9,
+        options=lk.EigsOptions(maxiter=60))
+    assert m_full.converged
+
+    path = str(tmp_path / "eigs_ckpt.npz")
+    opts_i = lk.EigsOptions(maxiter=2, checkpoint_every=1,
+                            checkpoint_path=path)
+    _, _, _, info_i, m_i = lk.eigs(op, nev, x0=x0, kdim=kdim,
+                                   tolerance=1e-9, options=opts_i)
+    assert not m_i.converged  # genuinely interrupted mid-run
+    import os
+    assert os.path.exists(path)
+
+    e_res, _, _, _, m_res = lk.eigs(
+        op, nev, x0=x0, kdim=kdim, tolerance=1e-9,
+        options=lk.EigsOptions(maxiter=60), resume_from=path)
+    assert m_res.converged
+    assert np.allclose(np.asarray(e_res), np.asarray(e_full), atol=1e-10)
+    # niter is restored cumulatively, so equality proves the resumed run
+    # reproduced the uninterrupted trajectory step for step
+    assert m_res.n_iter == m_full.n_iter
+
+
+def test_eighs_checkpoint_resume(tmp_path, dtype_dp):
+    dtype = dtype_dp
+    a, b = 4.0, -1.0
+    op = TridiagToeplitz(N, a, b, b, dtype=dtype)
+    x0 = vectors.rand_like(jax.random.PRNGKey(9), jnp.zeros(N, dtype))
+    kw = dict(kdim=32, tolerance=1e-9)
+
+    e_full, _, _, _, m_full = lk.eighs(op, 6, x0=x0,
+                                       options=lk.EigsOptions(maxiter=80), **kw)
+    assert m_full.converged
+    path = str(tmp_path / "eighs_ckpt.npz")
+    _, _, _, _, m_i = lk.eighs(
+        op, 6, x0=x0, options=lk.EigsOptions(
+            maxiter=2, checkpoint_every=1, checkpoint_path=path), **kw)
+    assert not m_i.converged
+    e_res, _, _, _, m_res = lk.eighs(op, 6, x0=x0,
+                                     options=lk.EigsOptions(maxiter=80),
+                                     resume_from=path, **kw)
+    assert m_res.converged
+    assert np.allclose(np.asarray(e_res), np.asarray(e_full), atol=1e-10)
+    assert m_res.n_iter == m_full.n_iter
+
+
+def test_svds_checkpoint_resume(tmp_path):
+    rng = np.random.default_rng(31)
+    m, n = N, N // 2
+    sv = 3.0 * 0.8 ** np.arange(n)
+    Um, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    Vm, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((Um * sv) @ Vm.T).astype(np.float64)
+    op = lk.DenseOperator(jnp.asarray(A))
+    u0 = vectors.rand_like(jax.random.PRNGKey(6), jnp.zeros(m, np.float64))
+    kw = dict(u0=u0, v_template=jnp.zeros(n, np.float64), kdim=12,
+              tolerance=1e-9)
+
+    _, S_full, _, _, _, m_full = lk.svds(op, 4, options=lk.SVDSOptions(maxiter=40), **kw)
+    assert m_full.converged
+    path = str(tmp_path / "svds_ckpt.npz")
+    # maxiter=1 has no restart boundary; mid-cycle sweep boundaries from
+    # check_every=4 carry the saves instead (kstart mid-cycle in the state)
+    _, _, _, _, _, m_i = lk.svds(
+        op, 4, options=lk.SVDSOptions(maxiter=1, checkpoint_every=1,
+                                      checkpoint_path=path),
+        check_every=4, **kw)
+    assert not m_i.converged
+    _, S_res, _, _, _, m_res = lk.svds(
+        op, 4, options=lk.SVDSOptions(maxiter=40), resume_from=path, **kw)
+    assert m_res.converged
+    assert np.allclose(np.asarray(S_res), np.asarray(S_full), atol=1e-10)
+    assert m_res.n_iter == m_full.n_iter

@@ -442,3 +442,38 @@ def test_gmres_large_kdim_prefix_on_sharded(mesh):
     r = np.asarray(op_s.matvec(jnp.asarray(np.asarray(xd)))) - b_host
     assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b_host)
     assert np.allclose(np.asarray(xd), np.asarray(xs), atol=1e-4)
+
+
+def test_eighs_checkpoint_resume_sharded(mesh, tmp_path):
+    """Checkpoint/resume with a *sharded* operator: load_checkpoint restores
+    the saved basis with the template's NamedSharding, and the resumed run
+    reproduces the uninterrupted one (VERDICT r3 item 7)."""
+    nx, ny = 16, 32
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    exact = np.sort(poisson2d_eigvals(nx, ny))[::-1]
+    x0 = distribute(
+        jnp.asarray(np.random.default_rng(4).standard_normal((ny, nx))),
+        mesh, P(mesh.axis_names[0], None))
+    kw = dict(kdim=24, tolerance=1e-9)
+
+    e_full, _, _, _, m_full = lk.eighs(sharded, 4, x0=x0,
+                                       options=lk.EigsOptions(maxiter=80), **kw)
+    assert m_full.converged
+
+    path = str(tmp_path / "eighs_sharded.npz")
+    _, _, _, _, m_i = lk.eighs(
+        sharded, 4, x0=x0, options=lk.EigsOptions(
+            maxiter=2, checkpoint_every=1, checkpoint_path=path), **kw)
+    assert not m_i.converged
+
+    e_res, evecs, _, _, m_res = lk.eighs(
+        sharded, 4, x0=x0, options=lk.EigsOptions(maxiter=80),
+        resume_from=path, **kw)
+    assert m_res.converged
+    assert np.allclose(np.asarray(e_res), np.asarray(e_full), atol=1e-10)
+    assert m_res.n_iter == m_full.n_iter
+    err = np.max(np.abs(np.asarray(e_res) - exact[:4]) / exact[:4])
+    assert err < 1e-8
+    # the Ritz vectors keep the mesh sharding through the resume path
+    leaf = jax.tree_util.tree_leaves(evecs)[0]
+    assert not leaf.sharding.is_fully_replicated
