@@ -68,33 +68,75 @@ def run_job(nproc: int, rows: int, nx: int, solver: str, timeout=1800):
     raise RuntimeError(f"no WS-RESULT line:\n{outs[0]}")
 
 
+def run_baseline(nconc: int, rows: int, nx: int, solver: str, timeout=2400):
+    """``nconc`` concurrent *independent* 1-process jobs (no collectives),
+    pinned round-robin to the physical cores.
+
+    This is the no-communication control at the SAME core oversubscription
+    as an ``nconc``-process communicating job: on a machine with fewer
+    cores than processes, comparing against a single solo run would fold
+    CPU sharing into the "communication" cost (the round-2 virtual-mesh
+    mistake).  Weak-scaling efficiency = max-over-children(median time of
+    the independent jobs) / median time of the communicating job.
+    """
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH",
+                        "JAX_NUM_CPU_DEVICES")}
+    env["PYTHONPATH"] = REPO
+    procs = []
+    for i in range(nconc):
+        port = free_port()
+        cmd = ["taskset", "-c", str(i % os.cpu_count()), sys.executable,
+               CHILD, "0", "1", str(port), str(rows), str(nx), solver]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, env=env,
+                                      text=True))
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"baseline child {i} failed:\n{out}")
+    rs = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("WS-RESULT "):
+                rs.append(json.loads(line[len("WS-RESULT "):]))
+    assert len(rs) == nconc
+    return rs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=768)
     ap.add_argument("--nx", type=int, default=1024)
+    ap.add_argument("--nprocs", default="2")
     ap.add_argument("--solvers", default="gmres,eighs")
     args = ap.parse_args()
 
     results = {"ts": time.strftime("%Y-%m-%d %H:%M:%S"),
-               "probe": "weak_scaling_2proc", "pinning": "1 core/process",
+               "probe": "weak_scaling_mp",
+               "methodology": "concurrency-matched: N independent 1-proc "
+                              "jobs vs N-proc gloo job, median-of-repeats",
+               "cores": os.cpu_count(),
                "rows_per_proc": args.rows, "nx": args.nx, "jobs": []}
     for solver in args.solvers.split(","):
-        # interleave 1p/2p/1p/2p so slow machine-state drift (thermal,
-        # competing daemons) hits both sides of the ratio equally; take the
-        # best of each side (each side is itself a best-of-WS_REPEATS).
-        r1 = run_job(1, args.rows, args.nx, solver)
-        r2 = run_job(2, args.rows, args.nx, solver)
-        r1b = run_job(1, args.rows, args.nx, solver)
-        r2b = run_job(2, args.rows, args.nx, solver)
-        t1 = min(r1["time_s"], r1b["time_s"])
-        t2 = min(r2["time_s"], r2b["time_s"])
-        eff = t1 / t2
-        print(f"{solver}: 1 proc {r1['dof']/1e6:6.2f}M DoF {t1:.3f}s | "
-              f"2 proc {r2['dof']/1e6:6.2f}M DoF {t2:.3f}s  "
-              f"weak-eff = {eff:.1%}", flush=True)
-        results["jobs"].append({"solver": solver, "t1_s": t1, "t2_s": t2,
-                                "efficiency": round(eff, 4),
-                                "r1": r1, "r2": r2, "r1b": r1b, "r2b": r2b})
+        for nproc in [int(s) for s in args.nprocs.split(",")]:
+            base = run_baseline(nproc, args.rows, args.nx, solver)
+            comm = run_job(nproc, args.rows, args.nx, solver)
+            t_base = max(r["median_s"] for r in base)
+            t_comm = comm["median_s"]
+            eff = t_base / t_comm
+            dof = comm["dof"]
+            spread_c = (max(comm["times"]) - min(comm["times"])) / t_comm
+            print(f"{solver} nproc={nproc}: indep {t_base:.3f}s | "
+                  f"comm {t_comm:.3f}s ({dof/1e6:.1f}M DoF total) "
+                  f"weak-eff = {eff:.1%}  spread = {spread_c:.0%}",
+                  flush=True)
+            results["jobs"].append(
+                {"solver": solver, "nproc": nproc, "dof": dof,
+                 "t_indep_s": t_base, "t_comm_s": t_comm,
+                 "efficiency": round(eff, 4),
+                 "comm_spread": round(spread_c, 3),
+                 "baseline": base, "comm": comm})
 
     out_path = os.path.join(HERE, "results_mp.json")
     with open(out_path, "a") as f:

@@ -33,12 +33,23 @@ __all__ = [
 
 @dataclass(frozen=True)
 class GMRESOptions:
-    """(reference: ``gmres_{sp,dp}_opts``, IterativeSolvers.fypp:141-151)."""
+    """(reference: ``gmres_{sp,dp}_opts``, IterativeSolvers.fypp:141-151).
+
+    ``orthogonalization``: ``"dcgs2"`` (default) runs the delayed
+    re-orthogonalization variant — one fused reduction and two basis
+    streams per inner iteration instead of CGS2's two reductions and four
+    streams, with the same two-pass orthogonality (the second pass is a
+    fresh measurement, applied one iteration late and folded into the
+    Hessenberg).  ``"cgs2"`` selects the classical reference scheme
+    (gmres.fypp:167-169); FGMRES always uses it (flexible updates need the
+    final basis column at preconditioning time).
+    """
 
     kdim: int = 30          # dimension of the Krylov subspace per restart
     maxiter: int = 10       # number of restarts
     if_print_metadata: bool = False
     sanity_check: bool = True  # recompute the true residual each outer cycle
+    orthogonalization: str = "dcgs2"
 
 
 @dataclass(frozen=True)

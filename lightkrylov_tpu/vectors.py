@@ -50,7 +50,10 @@ __all__ = [
     "dtype_of",
     "innerprod",
     "gram",
+    "innerprod_vpu",
     "linear_combination",
+    "linear_combination_vpu",
+    "set_columns_block",
     "axpby_basis",
     "scal_basis",
     "zero_basis_like",
@@ -416,6 +419,62 @@ def linear_combination(X, v):
         return flat.reshape(shape)
 
     return jax.tree.map(leaf_fn, X)
+
+
+def linear_combination_vpu(X, C):
+    """``X C`` for a SMALL number of output columns (C of shape (k, p) with
+    p ~ 2): one VPU broadcast-multiply + reduce pass over the basis.
+
+    The general matrix path of :func:`linear_combination` lowers to an MXU
+    GEMM, which for very skinny outputs runs well below HBM bandwidth
+    (same pathology as the rank-1 case, results_tpu.json probe
+    "cgs_cost").  CRITICAL: the broadcast must keep the leaf's ORIGINAL
+    trailing shape — flattening to (k, s) before broadcasting loses the
+    reduce fusion inside solver loops and materializes the (k, p, s)
+    intermediate (round-4 probe: 1.9 ms vs 12+ ms per pass at 3072^2).
+    Returns a stacked basis with leading axis ``p``.
+    """
+    C = jnp.asarray(C)
+
+    def leaf_fn(Xl):
+        dt = jnp.result_type(C.dtype, Xl.dtype)
+        Cb = C.astype(dt)[(...,) + (None,) * (Xl.ndim - 1)]  # (k, p, 1...)
+        out = jnp.sum(Cb * Xl.astype(dt)[:, None], axis=0)
+        return out  # (p,) + leaf column shape
+
+    return jax.tree.map(leaf_fn, X)
+
+
+def innerprod_vpu(X, Y):
+    """``X^H Y`` for a stacked RHS block with FEW columns (p ~ 2), as a VPU
+    broadcast-multiply + tree-reduce over the basis stream (full f32/f64
+    accumulation — no MXU, so no bf16-pass concern).
+
+    Same shape rule as :func:`linear_combination_vpu`: broadcasting on the
+    leaf's original trailing shape is what lets XLA fuse the reduction
+    into a single bandwidth-speed pass inside solver loops (round-4 probe:
+    the 2D form beats the flattened einsum by ~0.8 ms/iteration in the
+    GMRES body at 3072^2)."""
+    X_leaves, Y_leaves = _leaves(X), _leaves(Y)
+    terms = []
+    for Xl, Yl in zip(X_leaves, Y_leaves):
+        axes = tuple(range(2, Xl.ndim + 1))
+        terms.append(jnp.sum(Xl.conj()[:, None] * Yl[None], axis=axes))
+    return _tree_sum(terms)
+
+
+def set_columns_block(X, i, B):
+    """Write the stacked block ``B`` (leading axis p) into columns
+    ``i .. i+p-1`` of the buffer in ONE dynamic-update-slice per leaf
+    (``i`` may be traced) — cheaper than p separate column writes and a
+    single store dependency for the scheduler."""
+    i = jnp.asarray(i)
+
+    def leaf_fn(Xl, Bl):
+        start = (i,) + (jnp.zeros((), i.dtype),) * (Xl.ndim - 1)
+        return jax.lax.dynamic_update_slice(Xl, Bl.astype(Xl.dtype), start)
+
+    return jax.tree.map(leaf_fn, X, B)
 
 
 def axpby_basis(alpha, X, beta, Y):

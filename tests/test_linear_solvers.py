@@ -311,3 +311,42 @@ def test_gmres_large_kdim_prefix_path():
     r2 = np.linalg.norm(A @ np.asarray(x2) - np.asarray(b))
     assert r1 < 1e-8 and r2 < 1e-8
     assert np.allclose(np.asarray(x1), np.asarray(x2), atol=1e-10)
+
+
+def test_gmres_dcgs2_matches_cgs2(dtype, rng):
+    """DCGS2 (delayed, one-reduce, two-stream CGS2) vs classical CGS2
+    across all four scalar flavors: same solution, same convergence, and
+    inner-iteration counts within the one-step lag of the delayed residual
+    — an orthogonality-loss proxy (loss would inflate GMRES iterations)."""
+    A = _rand(dtype, rng, (N, N)) + N * np.eye(N, dtype=dtype)
+    b = _rand(dtype, rng, (N,))
+    xs, metas = {}, {}
+    for orth in ("cgs2", "dcgs2"):
+        x, info, meta = lk.gmres(
+            jnp.asarray(A), jnp.asarray(b),
+            options=lk.GMRESOptions(kdim=20, maxiter=20, orthogonalization=orth))
+        assert meta.converged, f"{orth} did not converge"
+        res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+        assert res < 10 * _tol(dtype), f"{orth}: {res}"
+        xs[orth], metas[orth] = np.asarray(x), meta
+    assert np.allclose(xs["dcgs2"], xs["cgs2"], atol=100 * _tol(dtype))
+    assert abs(metas["dcgs2"].n_inner - metas["cgs2"].n_inner) <= 2
+
+
+def test_gmres_dcgs2_illconditioned_f32():
+    """Large-norm operator in f32: the gamma-rescaled delayed scheme must
+    not overflow (the raw delayed scheme compounds ||A||^k into the stored
+    direction) and must match the CGS2 iteration count closely."""
+    rng_ = np.random.default_rng(77)
+    n = 96
+    A = (100.0 * rng_.standard_normal((n, n)) / np.sqrt(n)
+         + 100.0 * np.eye(n)).astype(np.float32)
+    b = rng_.standard_normal(n).astype(np.float32)
+    out = {}
+    for orth in ("cgs2", "dcgs2"):
+        x, info, meta = lk.gmres(
+            jnp.asarray(A), jnp.asarray(b), rtol=1e-5,
+            options=lk.GMRESOptions(kdim=30, maxiter=30, orthogonalization=orth))
+        assert meta.converged, f"{orth} failed"
+        out[orth] = meta.n_inner
+    assert abs(out["dcgs2"] - out["cgs2"]) <= 3

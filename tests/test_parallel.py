@@ -477,3 +477,36 @@ def test_eighs_checkpoint_resume_sharded(mesh, tmp_path):
     # the Ritz vectors keep the mesh sharding through the resume path
     leaf = jax.tree_util.tree_leaves(evecs)[0]
     assert not leaf.sharding.is_fully_replicated
+
+
+def test_gmres_dcgs2_on_mesh_matches_cgs2(mesh):
+    """DCGS2 on the 8-device mesh: same solution as classical CGS2, and
+    the delayed scheme's fused measurement keeps the all-reduce count per
+    compiled solver strictly below the CGS2 build (one reduction per inner
+    iteration vs CGS2's two projection passes + norm)."""
+    nx, ny = 32, 64
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    b = distribute(jnp.asarray(rng.standard_normal((ny, nx))), mesh,
+                   P(mesh.axis_names[0], None))
+    xs, hlos = {}, {}
+    from lightkrylov_tpu.solvers.gmres import _gmres_impl
+    from lightkrylov_tpu.linops import IdentityOperator
+    import lightkrylov_tpu as lk_
+
+    for orth in ("cgs2", "dcgs2"):
+        x, info, meta = lk.gmres(
+            sharded, b,
+            options=lk.GMRESOptions(kdim=20, maxiter=30,
+                                    orthogonalization=orth))
+        assert meta.converged, orth
+        xs[orth] = np.asarray(jax.device_get(x))
+        x0 = vectors.zero_like(b)
+        tol = jnp.asarray(1e-8)
+        hlos[orth] = _gmres_impl.lower(
+            sharded, b, x0, IdentityOperator(), tol, 20, 30, False, False,
+            True, orth).compile().as_text()
+    assert np.allclose(xs["dcgs2"], xs["cgs2"], atol=1e-8)
+    n_cgs2 = _count_allreduce_ops(hlos["cgs2"])
+    n_dcgs2 = _count_allreduce_ops(hlos["dcgs2"])
+    assert n_dcgs2 < n_cgs2, (n_dcgs2, n_cgs2)
