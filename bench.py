@@ -181,6 +181,19 @@ def main():
         print(f"# warm {name}: {nnz / tc / 1e9:.1f} Gnnz/s", file=sys.stderr)
     used, (t, kdiag, op_used) = min(candidates.items(),
                                     key=lambda kv: kv[1][0])
+    # The library-default dispatch must serve the same backend the
+    # measurement just picked (VERDICT r3 weak #2: the headline must never
+    # report a kernel faster than what auto_poisson2d hands users).
+    from lightkrylov_tpu.ops.pallas import auto_poisson2d
+
+    auto_used = ("pallas" if isinstance(auto_poisson2d(
+        nx, ny, jnp.float32, regime="warm"), PallasPoisson2D) else "xla")
+    print(f"# auto_poisson2d(warm) serves: {auto_used} "
+          f"(measured winner: {used}; agree={auto_used == used})",
+          file=sys.stderr)
+    if len(candidates) == 2 and auto_used != used:
+        print("# WARNING: auto dispatch disagrees with measured winner — "
+              "re-pin WARM_XLA_WINS_MAX_BYTES", file=sys.stderr)
 
     bytes_per_nnz = 8.0 / 5.0  # read u + write y per point, 5 nnz per point
     roofline = bw / bytes_per_nnz

