@@ -189,12 +189,21 @@ def stencil_matvec(u, *, ihx2: float, ihy2: float, tile: int = 256,
     kernel = functools.partial(_kernel, tile=tile, nx=nx, nprog=ny_p // tile,
                                ihx2=ihx2, ihy2=ihy2)
     extra = {}
-    if not interpret and vmem_budget > DEFAULT_VMEM_BUDGET:
-        # Mosaic's default scoped-VMEM limit matches the classic 16 MiB
-        # assumption; raise it when the caller opted into a larger budget
-        # (v5e/v6e carry 128 MiB of VMEM).
+    if not interpret:
+        # ALWAYS size the scoped-VMEM limit to the kernel's actual
+        # footprint (scratch windows + Pallas' double-buffered out blocks)
+        # plus margin: the terminal's compile environment enforces a 16 MiB
+        # default scoped limit, and the footprint at wide nx slightly
+        # exceeds the (4*tile+32)*nx budget model (round 4: tile=176 at
+        # nx=5120 allocates 16.04 MiB and was rejected under the default).
+        nx_eff = -(-nx // 128) * 128
+        need = (2 * (tile + 2 * HALO) + 2 * tile) * nx_eff * u.dtype.itemsize
+        # Mosaic's real scoped footprint runs ~1.5 windows past this model
+        # (21.05 MiB observed vs 14.7 modeled at nx=4096/tile=216), so give
+        # 2x headroom — the limit only gates compilation, not allocation.
         extra["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_budget + (2 << 20), 128 << 20))
+            vmem_limit_bytes=min(max(2 * need,
+                                     vmem_budget + (2 << 20)), 128 << 20))
     out = pl.pallas_call(
         kernel,
         grid=(ny_p // tile,),
@@ -395,16 +404,15 @@ def stencil_matvec_2d(u, *, ihx2: float, ihy2: float, tile_y: int = 256,
     return out[:ny, :nx] if (pad_y or pad_x) else out
 
 
-#: Measured warm-regime crossover on TPU v5e (bench.py / tpu_drive.py):
-#: when the (ny, nx) array is small enough that XLA's cross-iteration
-#: fusion keeps the working set near VMEM, the plain XLA pad-based stencil
-#: beats an HBM-streaming Pallas kernel (3072^2: 1051 vs 737 Gnnz/s warm);
-#: beyond it the Pallas kernel's explicit pipeline wins (8192^2: XLA
-#: stencil formulations top out at 171 GB/s effective vs Pallas 330 GB/s —
-#: PERF.md section 5.4).  Value = bytes of ONE array; re-pinned each bench
-#: run (bench.py asserts the auto choice is never the slower measured
-#: kernel).
-WARM_XLA_WINS_MAX_BYTES: int = 80 * 1024 * 1024
+#: Measured warm-regime crossover on TPU v5e (bench.py / tpu_drive.py;
+#: round-4 sweep): while ONE array fits v5e's 128 MiB VMEM, XLA's
+#: cross-iteration fusion beats the HBM-streaming Pallas kernel (3072^2:
+#: 1051 vs 737 Gnnz/s; 4096^2: 435 vs 208; 5120^2 = 105 MB: 439 vs 205);
+#: beyond it the Pallas pipeline wins (6144^2 = 151 MB: 133 vs 106;
+#: 8192^2: XLA stencil formulations top out at 171 GB/s effective vs
+#: Pallas 330 GB/s — PERF.md sections 5.4 and 8).  Value = bytes of ONE
+#: array = the VMEM size; bench.py re-validates the choice each run.
+WARM_XLA_WINS_MAX_BYTES: int = 128 * 1024 * 1024
 
 
 def auto_poisson2d(nx: int, ny: int | None = None, dtype=jnp.float32,
