@@ -432,7 +432,7 @@ def auto_poisson2d(nx: int, ny: int | None = None, dtype=jnp.float32,
     """
     ny_ = ny if ny is not None else nx
     nbytes = ny_ * nx * np.dtype(dtype).itemsize
-    if regime == "warm" and nbytes <= WARM_XLA_WINS_MAX_BYTES:
+    if regime == "warm" and nbytes < WARM_XLA_WINS_MAX_BYTES:
         from ...models.poisson import Poisson2D
 
         return Poisson2D(nx, ny, dtype=dtype)
