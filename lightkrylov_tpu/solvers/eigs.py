@@ -11,14 +11,23 @@ sorts by ``|lambda|`` descending and reconstructs the Ritz vectors as
 ``X @ eigvecs`` (:1108-1132).  Defaults: ``kdim = 4*nev``, ``tol = rtol``
 (:1023-1024).
 
-TPU structure: the Arnoldi sweep between convergence checks is one jitted
-``while_loop`` (dynamic ``kstart``/``kend`` — a single compiled executable
-serves every restart cycle); the k x k eigensolve rides a host callback
-(no non-Hermitian eig on TPU) and each check syncs once.  The check cadence
-is tunable: ``check_every = 0`` (default) checks only at ``kdim`` —
-ARPACK-style, minimal host round-trips — while ``check_every = 1``
-reproduces the reference's step-by-step checking, which saves matvecs when
-each matvec is an expensive time-stepper integration.
+TPU structure — two projected-eigensolve paths (``options.projected``):
+
+- ``"device"`` (default on TPU via ``"auto"``, real dtypes): the Arnoldi
+  sweep AND the k x k eigensolve run in ONE jitted ``while_loop``
+  (:func:`_fused_sweep`) — ``arnoldi_step`` + the jitted Francis-QR /
+  inverse-iteration Ritz analysis of ``utils/hessenberg.py`` per step.
+  That is the reference's step-by-step convergence checking
+  (IterativeSolvers.fypp:1057-1092) at zero host round-trips and with
+  early exit on the first converged step (minimal matvecs — dominant when
+  the operator is a time-stepper).
+- ``"host"`` (default on CPU; complex dtypes always): the sweep between
+  checks is one jitted ``while_loop`` (dynamic ``kstart``/``kend`` — a
+  single compiled executable serves every restart cycle); the k x k
+  eigensolve is host LAPACK GEEV and each check syncs once.  Check cadence
+  via ``check_every``: ``0`` (default) checks only at ``kdim``
+  (ARPACK-style, minimal round-trips), ``1`` reproduces the reference's
+  per-step checking at one sync per step.
 """
 
 from __future__ import annotations
@@ -30,10 +39,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants, vectors
-from ..krylov.arnoldi import arnoldi, initialize_arnoldi
+from ..krylov.arnoldi import arnoldi, arnoldi_step, initialize_arnoldi
 from ..krylov.krylov_schur import krylov_schur, median_selector
 from ..linops import aslinop
 from ..utils import linalg
+from ..utils.hessenberg import hessenberg_ritz
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
 from ..utils.timer import count_applications, timed_fn
@@ -95,6 +105,72 @@ def _ritz_residuals(H, evecs, k):
     real-operator conjugate-pair bookkeeping of LAPACK disappears)."""
     beta = abs(H[k, k - 1])
     return beta * np.abs(evecs[-1, :])
+
+
+def _device_projected(opts: EigsOptions, dt) -> bool:
+    """Whether the projected k x k eigensolve runs ON DEVICE (jitted
+    Francis QR + inverse iteration, ``utils/hessenberg.py``) fused into the
+    Arnoldi sweep, instead of host LAPACK GEEV per check.
+
+    Real dtypes only (the device path is real-arithmetic by construction —
+    which also makes it axon-legal; complex projected problems keep the
+    host path).  ``"auto"`` selects the device path on TPU, where each host
+    check costs a relay round-trip, and the host path elsewhere (host GEEV
+    is faster than batched inverse iteration on CPU).
+    """
+    if np.issubdtype(np.dtype(dt), np.complexfloating):
+        return False
+    mode = opts.projected
+    if mode == "host":
+        return False
+    if mode == "device":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose):
+    """One Arnoldi sweep with per-STEP on-device Ritz convergence checks:
+    ``arnoldi_step`` + :func:`hessenberg_ritz` inside a single jitted
+    ``while_loop`` — the reference's step-by-step checking
+    (IterativeSolvers.fypp:1057-1092) at zero host round-trips, where the
+    host path pays one sync per check.  Exits at the first step where
+    ``count(res < tol) >= nev`` (saving matvecs — the dominant cost when
+    the operator is a time-stepper), on invariant-subspace breakdown, or at
+    ``kend``.
+
+    Returns ``(X, H, k_final, info, n_conv, wr, wi, res, Vr, Vi, ok)`` —
+    all device values; ``ok`` False means the QR sweep budget ran out and
+    the caller must redo this check on the host.
+    """
+    kdim = H.shape[1]
+    rdt = H.dtype
+    kstart = jnp.asarray(kstart, jnp.int32)
+    kend = jnp.asarray(kend, jnp.int32)
+    nev = jnp.asarray(nev, jnp.int32)
+
+    def cond(c):
+        _X, _H, k, info, n_conv = c[0], c[1], c[2], c[3], c[4]
+        return (k < kend) & (info == 0) & (n_conv < nev)
+
+    def body(c):
+        X, H, k, info, n_conv, wr, wi, res, Vr, Vi, ok = c
+        X, H, beta = arnoldi_step(A, X, H, k, transpose=transpose, tol=btol)
+        info = jnp.where(beta <= btol, k + 1, info).astype(jnp.int32)
+        info = jnp.where(jnp.isnan(jnp.real(beta)), -(k + 1),
+                         info).astype(jnp.int32)
+        k_eff = jnp.where(info > 0, info, k + 1).astype(jnp.int32)
+        wr, wi, res, Vr, Vi, n_conv, ok = hessenberg_ritz(H, k_eff, tol)
+        # fatal NaN: n_conv is meaningless — zero it so the caller's
+        # convergence logic can't act on it (cond exits via info != 0)
+        n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
+        return X, H, k + 1, info, n_conv, wr, wi, res, Vr, Vi, ok
+
+    init = (X, H, kstart - 1, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros(kdim, rdt),
+            jnp.zeros(kdim, rdt), jnp.full((kdim,), jnp.inf, rdt),
+            jnp.zeros((kdim, kdim), rdt), jnp.zeros((kdim, kdim), rdt),
+            jnp.asarray(False))
+    return jax.lax.while_loop(cond, body, init)
 
 
 class _DriverCheckpointer:
@@ -204,9 +280,60 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             f"kstart {kstart}, {niter} matvecs done)", "solvers", "eigs")
     res_history = []
     evals = evecs = res = None
+    evecs_device = None  # (Vr, Vi) device pair when the fused path ran last
     invariant = False
+    use_device = _device_projected(opts, dt)
+    btol = constants.atol(rdt)
 
     for cycle in range(cycle0, opts.maxiter):
+        if use_device:
+            # whole sweep + per-step Ritz checks in one jitted while_loop;
+            # ONE batched fetch per restart cycle
+            X, H, k_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, Vr, Vi, dok = \
+                _fused_sweep(A, X, H, kstart, kdim, nev, tol, btol, transpose)
+            k_fin, ainfo, n_conv, wr_h, wi_h, r_all, dok_h = jax.device_get(
+                (k_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, dok))
+            k_fin, ainfo, n_conv = int(k_fin), int(ainfo), int(n_conv)
+            check_info(ainfo, "arnoldi", "solvers", "eigs")
+            k_eff = ainfo if ainfo > 0 else k_fin
+            niter += k_fin - (kstart - 1)
+            count_applications(A, k_fin - (kstart - 1),
+                               "rmatvec" if transpose else "matvec")
+            if bool(dok_h) or k_eff == 0:
+                w = (np.asarray(wr_h) + 1j * np.asarray(wi_h))[:k_eff]
+                r = np.asarray(r_all)[:k_eff]
+                evecs_device = (Vr, Vi)
+                evecs = None
+            else:
+                # QR sweep budget ran out (pathological H): redo on host
+                log_warning("eigs: device Hessenberg QR did not converge; "
+                            "host fallback for this check", "solvers", "eigs")
+                Hh = linalg.to_host(H)
+                w, V = np.linalg.eig(Hh[:k_eff, :k_eff])
+                r = _ritz_residuals(Hh, V, k_eff)
+                order = np.argsort(-np.abs(w))
+                w, V, r = w[order], V[:, order], r[order]
+                n_conv = int(np.sum(r < tol))
+                evecs, evecs_device = V, None
+            if ainfo > 0:
+                invariant = True  # residuals are exactly zero (beta = 0)
+            res_history.append(r[: min(nev, len(r))].copy())
+            if opts.write_intermediate and constants.io_rank():
+                _write_intermediate(opts.outpost, w, r)
+            evals, res, k_final = w, r, k_eff
+            ckpt.check()
+            if n_conv >= nev or invariant:
+                break
+            if cycle < opts.maxiter - 1:
+                X, H, n = krylov_schur(X, H, select)
+                kstart = n + 1
+                ckpt.save({"X": X, "H": H, "kstart": np.int64(kstart),
+                           "cycle": np.int64(cycle + 1),
+                           "niter": np.int64(niter)})
+                log_information(
+                    f"eigs: restart cycle {cycle + 1}, compressed to n={n}, "
+                    f"{n_conv}/{nev} converged", "solvers", "eigs")
+            continue
         k = kstart
         while k <= kdim:
             kend = min(kdim, k + stride - 1)
@@ -264,7 +391,14 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     # Post-processing: reconstruct Ritz vectors X @ eigvecs (:1108-1132).
     nev_out = min(nev, len(evals))
     coeffs = np.zeros((kdim, nev_out), dtype=cdt)
-    coeffs[:k_final, :] = evecs[:, :nev_out]
+    if evecs is None and evecs_device is not None:
+        # fused path: eigvecs stayed on device all run; ONE fetch here
+        # (real/imag parts — never a complex device array, axon-safe)
+        Vr_h, Vi_h = jax.device_get(evecs_device)
+        coeffs[:, :] = (np.asarray(Vr_h)
+                        + 1j * np.asarray(Vi_h))[:, :nev_out]
+    else:
+        coeffs[:k_final, :] = evecs[:, :nev_out]
     # Keep the basis in its native (possibly real) dtype: linear_combination
     # splits complex coefficients over a real basis into two real MXU
     # matmuls + lax.complex, the TPU-efficient reconstruction.

@@ -78,6 +78,13 @@ class EigsOptions:
     outpost: str = "eigs_output.txt"
     checkpoint_every: int = 0     # every N convergence checks; 0 = off
     checkpoint_path: str | None = None
+    #: projected k x k eigensolve: "host" = LAPACK GEEV per check (the
+    #: reference's path, IterativeSolvers.fypp:1065); "device" = jitted
+    #: Francis QR + inverse-iteration eigvecs (utils/hessenberg.py) fused
+    #: into the Arnoldi sweep — per-STEP convergence checks at zero host
+    #: round-trips (real dtypes only); "auto" = device on TPU, host
+    #: elsewhere.
+    projected: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,158 @@
+"""On-device Hessenberg eigensolve (utils/hessenberg.py): Francis QR
+eigenvalues, inverse-iteration eigenvectors, fused Ritz analysis, and
+eigs-driver parity between the host-LAPACK and device projected paths
+(reference semantics: projected ``eig`` per Arnoldi step,
+IterativeSolvers.fypp:1065; Ritz residuals :1069-1083)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import lightkrylov_tpu as lk
+from lightkrylov_tpu import vectors
+from lightkrylov_tpu.models import TridiagToeplitz, toeplitz_eigvals
+from lightkrylov_tpu.utils.hessenberg import (hessenberg_eigvals,
+                                              hessenberg_eigvecs,
+                                              hessenberg_ritz)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 17, 40])
+def test_eigvals_match_lapack(n, rng):
+    H = np.triu(rng.standard_normal((n, n)), -1)
+    wr, wi, ok = hessenberg_eigvals(jnp.asarray(H))
+    assert bool(ok)
+    w = np.sort_complex(np.asarray(wr) + 1j * np.asarray(wi))
+    w_ref = np.sort_complex(np.linalg.eigvals(H))
+    assert np.max(np.abs(w - w_ref)) < 1e-11 * max(1.0, np.abs(w_ref).max())
+
+
+def test_eigvals_f32(rng):
+    H = np.triu(rng.standard_normal((24, 24)).astype(np.float32), -1)
+    wr, wi, ok = hessenberg_eigvals(jnp.asarray(H))
+    assert bool(ok)
+    w = np.sort_complex(np.asarray(wr) + 1j * np.asarray(wi))
+    w_ref = np.sort_complex(np.linalg.eigvals(H.astype(np.float64)))
+    assert np.max(np.abs(w - w_ref)) < 1e-4 * np.abs(w_ref).max()
+
+
+def test_eigvals_non_hessenberg_input(rng):
+    # full dense real input: the internal GEHRD-style reduction must handle
+    # it (the Krylov-Schur compressed form has a full b row,
+    # BaseKrylov.fypp:782-834)
+    n = 20
+    A = rng.standard_normal((n, n))
+    wr, wi, ok = hessenberg_eigvals(jnp.asarray(A))
+    assert bool(ok)
+    w = np.sort_complex(np.asarray(wr) + 1j * np.asarray(wi))
+    w_ref = np.sort_complex(np.linalg.eigvals(A))
+    assert np.max(np.abs(w - w_ref)) < 1e-11 * np.abs(w_ref).max()
+
+
+def test_eigvals_dynamic_keff(rng):
+    n = 24
+    H = np.triu(rng.standard_normal((n, n)), -1)
+    for k in (1, 2, 7, 15, 24):
+        wr, wi, ok = hessenberg_eigvals(jnp.asarray(H), k)
+        assert bool(ok)
+        w = np.sort_complex((np.asarray(wr) + 1j * np.asarray(wi))[:k])
+        w_ref = np.sort_complex(np.linalg.eigvals(H[:k, :k]))
+        assert np.max(np.abs(w - w_ref)) < 1e-11 * max(
+            1.0, np.abs(w_ref).max())
+        # inactive slots report exactly zero
+        assert np.all(np.asarray(wr)[k:] == 0)
+
+
+def test_eigvecs_inverse_iteration(rng):
+    n = 30
+    H = np.triu(rng.standard_normal((n, n)), -1)
+    wr, wi, ok = hessenberg_eigvals(jnp.asarray(H))
+    Vr, Vi = hessenberg_eigvecs(jnp.asarray(H), wr, wi)
+    V = np.asarray(Vr) + 1j * np.asarray(Vi)
+    w = np.asarray(wr) + 1j * np.asarray(wi)
+    for j in range(n):
+        assert np.linalg.norm(H @ V[:, j] - w[j] * V[:, j]) < 1e-10
+        assert abs(np.linalg.norm(V[:, j]) - 1.0) < 1e-12
+
+
+def test_ritz_matches_host(rng):
+    # full check-level parity: eigenvalues, residuals, converged count
+    kdim = 20
+    for k_eff in (3, 9, 20):
+        He = np.zeros((kdim + 1, kdim))
+        He[:k_eff + 1, :k_eff] = np.triu(
+            rng.standard_normal((k_eff + 1, k_eff)), -1)
+        tol = 0.5
+        wr, wi, res, Vr, Vi, n_conv, ok = hessenberg_ritz(
+            jnp.asarray(He), k_eff, tol)
+        assert bool(ok)
+        Hk = He[:k_eff, :k_eff]
+        w_h, V_h = np.linalg.eig(Hk)
+        r_h = abs(He[k_eff, k_eff - 1]) * np.abs(V_h[-1, :])
+        w_d = (np.asarray(wr) + 1j * np.asarray(wi))[:k_eff]
+        r_d = np.asarray(res)[:k_eff]
+        assert np.max(np.abs(np.sort_complex(w_d)
+                             - np.sort_complex(w_h))) < 1e-10
+        assert np.max(np.abs(np.sort(r_d) - np.sort(r_h))) < 1e-10
+        assert int(n_conv) == int(np.sum(r_h < tol))
+        # device order is modulus-descending (host convention)
+        mod = np.abs(w_d)
+        assert np.all(np.diff(mod) <= 1e-12)
+
+
+def test_ritz_invariant_subspace(rng):
+    # beta = 0 (invariant subspace): all active residuals exactly zero
+    kdim, k_eff = 10, 6
+    He = np.zeros((kdim + 1, kdim))
+    He[:k_eff, :k_eff] = np.triu(rng.standard_normal((k_eff, k_eff)), -1)
+    wr, wi, res, Vr, Vi, n_conv, ok = hessenberg_ritz(
+        jnp.asarray(He), k_eff, 1e-12)
+    assert bool(ok)
+    assert np.all(np.asarray(res)[:k_eff] == 0)
+    assert int(n_conv) == k_eff
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+def test_eigs_device_matches_host(dtype, rng):
+    """End-to-end: the fused device projected path reproduces the host
+    path through restart cycles on the Toeplitz fixture
+    (TestIterativeSolvers.fypp:164-176 analogue)."""
+    N = 128
+    op = TridiagToeplitz(N, 2.0, -1.0, 1.0, dtype=dtype)
+    exact = toeplitz_eigvals(N, 2.0, -1.0, 1.0)
+    nev, kdim = 6, 32
+    tol = 1e-9 if dtype == jnp.float64 else 1e-5
+    x0 = vectors.rand_like(jax.random.PRNGKey(1), jnp.zeros(N, dtype))
+    results = {}
+    for mode in ("host", "device"):
+        evals, evecs, res, info, meta = lk.eigs(
+            op, nev, x0=x0, kdim=kdim, tolerance=tol,
+            options=lk.EigsOptions(projected=mode))
+        assert meta.converged
+        got = np.asarray(evals)
+        for lam in got:
+            assert np.min(np.abs(exact - lam)) < 100 * tol
+        results[mode] = (got, np.asarray(res), meta.n_iter)
+    # same matvec economy to within one sweep's per-step-checking savings
+    assert abs(results["host"][2] - results["device"][2]) <= kdim
+
+
+def test_eigs_device_ritz_vectors(rng):
+    """Device-path Ritz vectors actually diagonalize the operator."""
+    N = 96
+    op = TridiagToeplitz(N, 1.0, 1.0, -1.0, dtype=jnp.float64)
+    x0 = vectors.rand_like(jax.random.PRNGKey(2), jnp.zeros(N, jnp.float64))
+    evals, evecs, res, info, meta = lk.eigs(
+        op, 4, x0=x0, kdim=24, tolerance=1e-9,
+        options=lk.EigsOptions(projected="device"))
+    assert meta.converged
+    A = np.asarray(op.dense()).astype(complex)
+    V = np.asarray(evecs)
+    w = np.asarray(evals)
+    for i in range(4):
+        assert np.linalg.norm(A @ V[i] - w[i] * V[i]) < 1e-7
