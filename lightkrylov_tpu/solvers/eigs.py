@@ -33,6 +33,7 @@ TPU structure — two projected-eigensolve paths (``options.projected``):
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -128,6 +129,7 @@ def _device_projected(opts: EigsOptions, dt) -> bool:
     return jax.default_backend() == "tpu"
 
 
+@partial(jax.jit, static_argnames=("transpose",))
 def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose):
     """One Arnoldi sweep with per-STEP on-device Ritz convergence checks:
     ``arnoldi_step`` + :func:`hessenberg_ritz` inside a single jitted
