@@ -26,16 +26,82 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .. import constants, vectors
-from ..krylov.lanczos import initialize_lanczos, lanczos
+from ..krylov.lanczos import initialize_lanczos, lanczos, lanczos_step
 from ..linops import aslinop
-from .eigs import _DriverCheckpointer, _reconstruct, _resume_driver_state
+from .eigs import (_DriverCheckpointer, _device_projected, _reconstruct,
+                   _resume_driver_state)
 from ..utils import linalg
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import EigsOptions, SolverMetadata
 from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["eighs"]
+
+
+def _ritz_check_sym(T, k_eff, tol, nev):
+    """Device-side projected eigensolve + Ritz residuals of the Lanczos
+    buffer (the eighs check, eighs.fypp:79-101), dynamic active size.
+
+    The active ``k_eff x k_eff`` block is embedded with strongly-negative
+    dummy diagonal entries so its eigenpairs occupy the LEADING positions
+    after the descending sort; inactive slots carry ``res = +inf``.
+    Returns ``(w, res, V, n_conv)`` with ``n_conv = count(res[:nev] < tol)``
+    (the host/reference convention)."""
+    kdim = T.shape[1]
+    idx = jnp.arange(kdim)
+    active = idx < k_eff
+    Tk = T[:kdim, :kdim]
+    Tk = (Tk + Tk.T) / 2  # CGS2 fills tiny asymmetric noise
+    Tm = jnp.where(active[:, None] & active[None, :], Tk, 0.0)
+    norm = jnp.max(jnp.abs(Tm)) + 1.0
+    dummy = -norm * (2.0 + idx.astype(T.dtype) / kdim)
+    Tm = Tm.at[idx, idx].set(jnp.where(active, jnp.diagonal(Tm), dummy))
+    w, V = jnp.linalg.eigh(Tm)  # ascending; dummies are the most negative
+    w, V = w[::-1], V[:, ::-1]  # descending: active block leads
+    km1 = jnp.maximum(k_eff - 1, 0)
+    beta = jnp.abs(T[k_eff, km1])
+    r = beta * jnp.abs(V[km1, :])
+    res = jnp.where(active, r, jnp.inf)  # post-sort: active = first k_eff
+    n_conv = jnp.sum(jnp.where(idx < nev, res, jnp.inf) < tol)
+    return w, res, V, n_conv.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def _fused_lanczos_sweep(A, X, T, kstart, kend, nev, tol, btol):
+    """One Lanczos sweep with per-STEP on-device convergence checks:
+    ``lanczos_step`` + projected ``eigh`` inside a single jitted
+    ``while_loop`` — the reference's step-by-step cadence
+    (eighs.fypp:79-101) at zero host round-trips, exiting at the first
+    converged step (see :func:`~lightkrylov_tpu.solvers.eigs._fused_sweep`
+    for the non-Hermitian analogue)."""
+    kdim = T.shape[1]
+    rdt = T.dtype
+    kstart = jnp.asarray(kstart, jnp.int32)
+    kend = jnp.asarray(kend, jnp.int32)
+    nev = jnp.asarray(nev, jnp.int32)
+
+    def cond(c):
+        k, info, n_conv = c[2], c[3], c[4]
+        return (k < kend) & (info == 0) & (n_conv < nev)
+
+    def body(c):
+        X, T, k, info, n_conv, w, res, V = c
+        X, T, beta = lanczos_step(A, X, T, k, tol=btol)
+        info = jnp.where(beta <= btol, k + 1, info).astype(jnp.int32)
+        info = jnp.where(jnp.isnan(jnp.real(beta)), -(k + 1),
+                         info).astype(jnp.int32)
+        k_eff = jnp.where(info > 0, info, k + 1).astype(jnp.int32)
+        w, res, V, n_conv = _ritz_check_sym(T, k_eff, tol, nev)
+        n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
+        return X, T, k + 1, info, n_conv, w, res, V
+
+    init = (X, T, kstart - 1, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros(kdim, rdt),
+            jnp.full((kdim,), jnp.inf, rdt), jnp.zeros((kdim, kdim), rdt))
+    return jax.lax.while_loop(cond, body, init)
 
 
 @jax.jit
@@ -98,39 +164,68 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
     res_history = []
     invariant = False
     n_conv = 0
+    use_device = _device_projected(opts, dt)
+    btol = constants.atol(rdt)
+    evecs_device = None  # device V when the fused path ran last
     for cycle in range(cycle0, opts.maxiter):
-        k = kstart
-        while k <= kdim:
-            kend = min(kdim, k + stride - 1)
-            X, T, linfo = lanczos(A, X, T, kstart=k, kend=kend)
-            linfo = int(linfo)
+        if use_device:
+            X, T, k_dev, linfo_d, nconv_d, w_d, res_d, V_dev = \
+                _fused_lanczos_sweep(A, X, T, kstart, kdim, nev, tol, btol)
+            k_fin, linfo, n_conv, w_h, r_all = jax.device_get(
+                (k_dev, linfo_d, nconv_d, w_d, res_d))
+            k_fin, linfo, n_conv = int(k_fin), int(linfo), int(n_conv)
             check_info(linfo, "lanczos", "solvers", "eighs")
-            k_eff = linfo if linfo > 0 else kend
-            count_applications(A, max(k_eff - (k - 1), 0), "matvec")
-            niter += k_eff - (k - 1)
-
-            Th = linalg.to_host(T)  # axon-safe complex D2H
-            Tk = Th[:k_eff, :k_eff]
-            Tk = (Tk + Tk.conj().T) / 2  # CGS2 fills tiny asymmetric noise
-            w, V = np.linalg.eigh(Tk)
-            beta = abs(Th[k_eff, k_eff - 1])
-            r = beta * np.abs(V[-1, :])
+            k_eff = linfo if linfo > 0 else k_fin
+            count_applications(A, k_fin - (kstart - 1), "matvec")
+            niter += k_fin - (kstart - 1)
+            w = np.asarray(w_h)[:k_eff]
+            r = np.asarray(r_all)[:k_eff]
             if linfo > 0:
-                r = np.zeros_like(r)
-                invariant = True
-            order = np.argsort(-w)  # descending eigenvalue (:107)
-            w, V, r = w[order], V[:, order], r[order]
-            n_conv = int(np.sum(r[:nev] < tol))
+                invariant = True  # residuals exactly zero (beta = 0)
             res_history.append(r[: min(nev, len(r))].copy())
-            evals, evecs, res, k_final = w, V, r, k_eff
+            evals, res, k_final = w, r, k_eff
+            evecs_device, evecs = V_dev, None
             ckpt.check()
             if n_conv >= nev or invariant:
                 break
-            if kend < kdim:
-                ckpt.save({"X": X, "H": T, "kstart": np.int64(kend + 1),
-                           "cycle": np.int64(cycle),
-                           "niter": np.int64(niter)})
-            k = kend + 1
+            if cycle < opts.maxiter - 1 and k_final == kdim:
+                evecs = np.asarray(jax.device_get(V_dev))  # restart needs it
+                evecs_device = None
+            else:
+                continue
+        else:
+            k = kstart
+            while k <= kdim:
+                kend = min(kdim, k + stride - 1)
+                X, T, linfo = lanczos(A, X, T, kstart=k, kend=kend)
+                linfo = int(linfo)
+                check_info(linfo, "lanczos", "solvers", "eighs")
+                k_eff = linfo if linfo > 0 else kend
+                count_applications(A, max(k_eff - (k - 1), 0), "matvec")
+                niter += k_eff - (k - 1)
+
+                Th = linalg.to_host(T)  # axon-safe complex D2H
+                Tk = Th[:k_eff, :k_eff]
+                Tk = (Tk + Tk.conj().T) / 2  # CGS2 fills tiny asymmetric noise
+                w, V = np.linalg.eigh(Tk)
+                beta = abs(Th[k_eff, k_eff - 1])
+                r = beta * np.abs(V[-1, :])
+                if linfo > 0:
+                    r = np.zeros_like(r)
+                    invariant = True
+                order = np.argsort(-w)  # descending eigenvalue (:107)
+                w, V, r = w[order], V[:, order], r[order]
+                n_conv = int(np.sum(r[:nev] < tol))
+                res_history.append(r[: min(nev, len(r))].copy())
+                evals, evecs, res, k_final = w, V, r, k_eff
+                ckpt.check()
+                if n_conv >= nev or invariant:
+                    break
+                if kend < kdim:
+                    ckpt.save({"X": X, "H": T, "kstart": np.int64(kend + 1),
+                               "cycle": np.int64(cycle),
+                               "niter": np.int64(niter)})
+                k = kend + 1
         if n_conv >= nev or invariant:
             break
         if cycle < opts.maxiter - 1 and k_final == kdim:
@@ -168,7 +263,11 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
 
     nev_out = min(nev, len(evals))
     coeffs = np.zeros((kdim, nev_out), dtype=np.dtype(dt))
-    coeffs[:k_final, :] = evecs[:, :nev_out]
+    if evecs is None and evecs_device is not None:
+        # fused path: eigvecs stayed on device; ONE fetch here (real array)
+        coeffs[:, :] = np.asarray(jax.device_get(evecs_device))[:, :nev_out]
+    else:
+        coeffs[:k_final, :] = evecs[:, :nev_out]
     X_lead = vectors.lead(X, kdim)  # jitted (axon: no eager complex slice)
     ritz_vecs = _reconstruct(X_lead, coeffs)
 

@@ -156,3 +156,30 @@ def test_eigs_device_ritz_vectors(rng):
     w = np.asarray(evals)
     for i in range(4):
         assert np.linalg.norm(A @ V[i] - w[i] * V[i]) < 1e-7
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+def test_eighs_device_matches_host(dtype):
+    """Fused on-device Lanczos sweep (projected eigh per step) reproduces
+    the host path through thick restarts (eighs.fypp:79-101 semantics)."""
+    N = 128
+    a, b = 4.0, -1.0
+    op = TridiagToeplitz(N, a, b, b, dtype=dtype)
+    exact = np.sort(toeplitz_eigvals(N, a, b).real)[::-1]
+    nev, kdim = 6, 32
+    tol = 1e-9 if dtype == jnp.float64 else 1e-4
+    x0 = vectors.rand_like(jax.random.PRNGKey(9), jnp.zeros(N, dtype))
+    results = {}
+    for mode in ("host", "device"):
+        evals, evecs, res, info, meta = lk.eighs(
+            op, nev, x0=x0, kdim=kdim, tolerance=tol,
+            options=lk.EigsOptions(projected=mode, maxiter=80))
+        assert meta.converged
+        err = np.max(np.abs(np.asarray(evals) - exact[:nev])
+                     / np.abs(exact[:nev]))
+        assert err < 10 * tol
+        G = np.asarray(vectors.gram(evecs))
+        assert np.allclose(G, np.eye(nev), atol=1e-3 if
+                           dtype == jnp.float32 else 1e-8)
+        results[mode] = np.asarray(evals)
+    assert np.max(np.abs(results["host"] - results["device"])) < 100 * tol
