@@ -24,16 +24,72 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .. import constants, vectors
-from ..krylov.bidiag import bidiagonalization, initialize_bidiag
+from ..krylov.bidiag import bidiag_step, bidiagonalization, initialize_bidiag
 from ..linops import aslinop
-from .eigs import _DriverCheckpointer, _reconstruct, _resume_driver_state
+from .eigs import (_DriverCheckpointer, _device_projected, _reconstruct,
+                   _resume_driver_state)
 from ..utils import linalg
 from ..utils.logger import check_info, log_information, log_warning
 from ..utils.options import SVDSOptions, SolverMetadata
 from ..utils.timer import count_applications, timed_fn
 
 __all__ = ["svds"]
+
+
+def _ritz_check_svd(B, k_eff, tol, nsv):
+    """Device-side projected SVD + residuals of one svds check
+    (svd_solvers.fypp:80-102), dynamic active size.  Zero-padding the
+    inactive block keeps its singular values at exactly 0, which sort
+    last; inactive slots carry ``res = +inf``."""
+    kdim = B.shape[1]
+    idx = jnp.arange(kdim)
+    active = idx < k_eff
+    Bk = jnp.where(active[:, None] & active[None, :], B[:kdim, :kdim], 0.0)
+    um, s, vmh = jnp.linalg.svd(Bk)  # descending; padded zeros last
+    vm = vmh.T
+    km1 = jnp.maximum(k_eff - 1, 0)
+    beta = jnp.abs(B[k_eff, km1])
+    r = beta * jnp.abs(vm[km1, :])  # (:93)
+    res = jnp.where(active, r, jnp.inf)
+    n_conv = jnp.sum(jnp.where(idx < nsv, res, jnp.inf) < tol)
+    return s, res, um, vm, n_conv.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def _fused_bidiag_sweep(A, U, V, B, kstart, kend, nsv, tol, btol):
+    """One Golub-Kahan sweep with per-STEP on-device SVD convergence
+    checks in a single jitted ``while_loop`` (see
+    :func:`~lightkrylov_tpu.solvers.eigs._fused_sweep`)."""
+    kdim = B.shape[1]
+    rdt = B.dtype
+    kstart = jnp.asarray(kstart, jnp.int32)
+    kend = jnp.asarray(kend, jnp.int32)
+    nsv = jnp.asarray(nsv, jnp.int32)
+
+    def cond(c):
+        k, info, n_conv = c[3], c[4], c[5]
+        return (k < kend) & (info == 0) & (n_conv < nsv)
+
+    def body(c):
+        U, V, B, k, info, n_conv, s, res, um, vm = c
+        U, V, B, alpha, beta = bidiag_step(A, U, V, B, k, tol=btol)
+        broke = (alpha <= btol) | (beta <= btol)
+        info = jnp.where(broke, k + 1, info).astype(jnp.int32)
+        nan = jnp.isnan(jnp.real(alpha)) | jnp.isnan(jnp.real(beta))
+        info = jnp.where(nan, -(k + 1), info).astype(jnp.int32)
+        k_eff = jnp.where(info > 0, info, k + 1).astype(jnp.int32)
+        s, res, um, vm, n_conv = _ritz_check_svd(B, k_eff, tol, nsv)
+        n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
+        return U, V, B, k + 1, info, n_conv, s, res, um, vm
+
+    init = (U, V, B, kstart - 1, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros(kdim, rdt),
+            jnp.full((kdim,), jnp.inf, rdt), jnp.zeros((kdim, kdim), rdt),
+            jnp.zeros((kdim, kdim), rdt))
+    return jax.lax.while_loop(cond, body, init)
 
 
 @timed_fn("svds", "IterativeSolvers")
@@ -86,39 +142,72 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
     res_history = []
     invariant = False
     n_conv = 0
+    use_device = _device_projected(opts, dt)
+    btol = constants.atol(rdt)
+    svecs_device = None  # (um, vm) device pair when the fused path ran last
     for cycle in range(cycle0, opts.maxiter):
-        k = kstart
-        while k <= kdim:
-            kend = min(kdim, k + stride - 1)
-            U, V, B, binfo = bidiagonalization(A, U, V, B, kstart=k, kend=kend)
-            binfo = int(binfo)
+        if use_device:
+            U, V, B, k_dev, binfo_d, nconv_d, s_d, res_d, um_dev, vm_dev = \
+                _fused_bidiag_sweep(A, U, V, B, kstart, kdim, nsv, tol, btol)
+            k_fin, binfo, n_conv, s_h, r_all = jax.device_get(
+                (k_dev, binfo_d, nconv_d, s_d, res_d))
+            k_fin, binfo, n_conv = int(k_fin), int(binfo), int(n_conv)
             check_info(binfo, "bidiagonalization", "solvers", "svds")
-            k_eff = binfo if binfo > 0 else kend
-            count_applications(A, max(k_eff - (k - 1), 0), "matvec")
-            count_applications(A, max(k_eff - (k - 1), 0), "rmatvec")
-            niter += k_eff - (k - 1)
-
-            Bh = linalg.to_host(B)  # axon-safe complex D2H
-            Bk = Bh[:k_eff, :k_eff]
-            um, s, vmh = np.linalg.svd(Bk)
-            vm = vmh.conj().T
-            beta = abs(Bh[k_eff, k_eff - 1])
-            r = beta * np.abs(vm[-1, :])  # (:93)
+            k_eff = binfo if binfo > 0 else k_fin
+            count_applications(A, k_fin - (kstart - 1), "matvec")
+            count_applications(A, k_fin - (kstart - 1), "rmatvec")
+            niter += k_fin - (kstart - 1)
+            s = np.asarray(s_h)[:k_eff]
+            r = np.asarray(r_all)[:k_eff]
             if binfo > 0:
-                r = np.zeros_like(r)
-                invariant = True
-            n_conv = int(np.sum(r[:nsv] < tol))
+                invariant = True  # residuals exactly zero (beta = 0)
             res_history.append(r[: min(nsv, len(r))].copy())
-            svals, umat, vmat, res, k_final = s, um, vm, r, k_eff
+            svals, res, k_final = s, r, k_eff
+            svecs_device, umat = (um_dev, vm_dev), None
+            vmat = None
             ckpt.check()
             if n_conv >= nsv or invariant:
                 break
-            if kend < kdim:
-                ckpt.save({"U": U, "V": V, "B": B,
-                           "kstart": np.int64(kend + 1),
-                           "cycle": np.int64(cycle),
-                           "niter": np.int64(niter)})
-            k = kend + 1
+            if cycle < opts.maxiter - 1 and k_final == kdim:
+                um_h, vm_h = jax.device_get((um_dev, vm_dev))
+                umat, vmat = np.asarray(um_h), np.asarray(vm_h)
+                svecs_device = None
+            else:
+                continue
+            # fall through to the shared thick-restart block below
+        else:
+            k = kstart
+            while k <= kdim:
+                kend = min(kdim, k + stride - 1)
+                U, V, B, binfo = bidiagonalization(A, U, V, B, kstart=k, kend=kend)
+                binfo = int(binfo)
+                check_info(binfo, "bidiagonalization", "solvers", "svds")
+                k_eff = binfo if binfo > 0 else kend
+                count_applications(A, max(k_eff - (k - 1), 0), "matvec")
+                count_applications(A, max(k_eff - (k - 1), 0), "rmatvec")
+                niter += k_eff - (k - 1)
+
+                Bh = linalg.to_host(B)  # axon-safe complex D2H
+                Bk = Bh[:k_eff, :k_eff]
+                um, s, vmh = np.linalg.svd(Bk)
+                vm = vmh.conj().T
+                beta = abs(Bh[k_eff, k_eff - 1])
+                r = beta * np.abs(vm[-1, :])  # (:93)
+                if binfo > 0:
+                    r = np.zeros_like(r)
+                    invariant = True
+                n_conv = int(np.sum(r[:nsv] < tol))
+                res_history.append(r[: min(nsv, len(r))].copy())
+                svals, umat, vmat, res, k_final = s, um, vm, r, k_eff
+                ckpt.check()
+                if n_conv >= nsv or invariant:
+                    break
+                if kend < kdim:
+                    ckpt.save({"U": U, "V": V, "B": B,
+                               "kstart": np.int64(kend + 1),
+                               "cycle": np.int64(cycle),
+                               "niter": np.int64(niter)})
+                k = kend + 1
         if n_conv >= nsv or invariant:
             break
         if cycle < opts.maxiter - 1 and k_final == kdim:
@@ -158,9 +247,15 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
 
     nsv_out = min(nsv, len(svals))
     cu = np.zeros((kdim + 1, nsv_out), dtype=np.dtype(dt))
-    cu[:k_final, :] = umat[:, :nsv_out]
     cv = np.zeros((kdim, nsv_out), dtype=np.dtype(dt))
-    cv[:k_final, :] = vmat[:, :nsv_out]
+    if umat is None and svecs_device is not None:
+        # fused path: singular vectors stayed on device; ONE fetch here
+        um_h, vm_h = jax.device_get(svecs_device)
+        cu[:kdim, :] = np.asarray(um_h)[:, :nsv_out]
+        cv[:, :] = np.asarray(vm_h)[:, :nsv_out]
+    else:
+        cu[:k_final, :] = umat[:, :nsv_out]
+        cv[:k_final, :] = vmat[:, :nsv_out]
     Usv = _reconstruct(U, cu)
     Vsv = _reconstruct(V, cv)
 

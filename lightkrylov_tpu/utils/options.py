@@ -93,6 +93,9 @@ class SVDSOptions:
     maxiter: int = 20
     checkpoint_every: int = 0     # every N convergence checks; 0 = off
     checkpoint_path: str | None = None
+    #: projected k x k SVD: "host" LAPACK per check / "device" fused
+    #: on-device per-step checks / "auto" = device on TPU (see EigsOptions)
+    projected: str = "auto"
 
 
 @dataclass(frozen=True)

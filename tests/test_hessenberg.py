@@ -183,3 +183,28 @@ def test_eighs_device_matches_host(dtype):
                            dtype == jnp.float32 else 1e-8)
         results[mode] = np.asarray(evals)
     assert np.max(np.abs(results["host"] - results["device"])) < 100 * tol
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+def test_svds_device_matches_host(dtype, rng):
+    """Fused on-device Golub-Kahan sweep (projected SVD per step)
+    reproduces the host path (svd_solvers.fypp:80-102 semantics)."""
+    m, n = 96, 64
+    Am = rng.standard_normal((m, n)).astype(np.dtype(dtype))
+    op = lk.DenseOperator(jnp.asarray(Am))
+    sref = np.linalg.svd(Am.astype(np.float64), compute_uv=False)
+    tol = 1e-10 if dtype == jnp.float64 else 1e-4
+    u0 = jnp.asarray(rng.standard_normal(m).astype(np.dtype(dtype)))
+    vt = jnp.zeros(n, dtype)
+    for mode in ("host", "device"):
+        U, S, V, res, info, meta = lk.svds(
+            op, 5, u0=u0, v_template=vt, kdim=20, tolerance=tol,
+            options=lk.SVDSOptions(projected=mode, maxiter=40))
+        assert meta.converged
+        serr = np.max(np.abs(np.asarray(S) - sref[:5]) / sref[:5])
+        assert serr < 10 * tol
+        # triplet residuals ||A v - s u||
+        for i in range(5):
+            t = np.linalg.norm(Am @ np.asarray(V)[i]
+                               - float(S[i]) * np.asarray(U)[i])
+            assert t < 1e4 * tol * sref[0]
