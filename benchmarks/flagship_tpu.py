@@ -102,7 +102,12 @@ def main():
         gl = GinzburgLandauReal(nx=nx, dtype=jnp.float32)
         prop = GLPropagator(gl, tau=tau, n_steps=10)
         x0 = jnp.asarray(rng.standard_normal((2, nx)).astype(np.float32))
-        tol = 1e-6
+        # 2e-6: the fused device path computes Ritz residuals in f32,
+        # where the last pair's residual floors at ~1.2e-6 (the host path
+        # evaluated them in f64 from the fetched H and certified 1e-6).
+        # The stopping tol is not the validation metric — backward error
+        # vs kappa-budgeted anchors is asserted below either way.
+        tol = 2e-6
         # kdim = 2.5x the realified 2*nev: the conjugate-pair structure of
         # the realified spectrum halves the effective subspace margin, so
         # the literal 2x doubling of the reference's kdim=16 left the last
@@ -261,8 +266,14 @@ def main():
         m = 48
         cd = ConvectionDiffusion2D(m, dtype=jnp.float32)
         u0 = jnp.ones((m, m), jnp.float32)
+        # tolerance sits ABOVE the honest f32 residual floor
+        # eps_f32 * sigma_max ~ 1e-3 for this operator (||A|| ~ 1/h^2):
+        # the fused device path computes projected residuals in f32, where
+        # the old 1e-4 only "converged" because the host path did the
+        # projected SVD in f64.  Accuracy is asserted vs the dense oracle
+        # below either way.
         U, S, V, sres, sinfo, _ = lk.svds(
-            cd, 4, u0=u0, kdim=20, tolerance=1e-4)  # f32 residual floor
+            cd, 4, u0=u0, kdim=20, tolerance=5e-3)
         Ad = np.asarray(cd.dense()) if hasattr(cd, "dense") else None
         if Ad is not None:
             s_ref = np.linalg.svd(Ad, compute_uv=False)[:4]

@@ -94,6 +94,50 @@ def main():
     entry["speedup"] = round(timings["host"] / timings["device"], 3)
     log(f"device speedup over host: {entry['speedup']}x")
 
+    # ---- 4. eighs: fused on-device Lanczos sweep ------------------------
+    N, nev, kdim = 256, 6, 32
+    a_, b_ = 4.0, -1.0
+    oph = TridiagToeplitz(N, a_, b_, dtype=jnp.float32)
+    exacth = np.sort(toeplitz_eigvals(N, a_, b_, b_).real)[::-1]
+    x0h = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    for mode in ("device", "host"):
+        for rep in range(2):
+            ts = time.time()
+            evals, evecs, eres, einfo, emeta = lk.eighs(
+                oph, nev, x0=x0h, kdim=kdim, tolerance=1e-4,
+                options=lk.EigsOptions(projected=mode, maxiter=80))
+            dt = time.time() - ts
+        err = float(np.max(np.abs(np.asarray(evals) - exacth[:nev])
+                           / np.abs(exacth[:nev])))
+        log(f"eighs[{mode}] warm {dt:.3f}s conv={emeta.converged} "
+            f"niter={emeta.n_iter} err={err:.2e}  ({time.time()-t0:.1f}s)")
+        entry[f"eighs_{mode}_s"] = round(dt, 4)
+        entry[f"eighs_{mode}_err"] = err
+    entry["eighs_speedup"] = round(entry["eighs_host_s"]
+                                   / entry["eighs_device_s"], 3)
+
+    # ---- 5. svds: fused on-device Golub-Kahan sweep ---------------------
+    m, n2 = 256, 192
+    Am = rng.standard_normal((m, n2)).astype(np.float32)
+    ops = lk.DenseOperator(jnp.asarray(Am))
+    sref = np.linalg.svd(Am.astype(np.float64), compute_uv=False)
+    u0s = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    vts = jnp.zeros(n2, jnp.float32)
+    for mode in ("device", "host"):
+        for rep in range(2):
+            ts = time.time()
+            Us, Ss, Vs, sres, sinfo, smeta = lk.svds(
+                ops, 5, u0=u0s, v_template=vts, kdim=20, tolerance=1e-4,
+                options=lk.SVDSOptions(projected=mode, maxiter=40))
+            dt = time.time() - ts
+        serr = float(np.max(np.abs(np.asarray(Ss) - sref[:5]) / sref[:5]))
+        log(f"svds[{mode}] warm {dt:.3f}s conv={smeta.converged} "
+            f"serr={serr:.2e}  ({time.time()-t0:.1f}s)")
+        entry[f"svds_{mode}_s"] = round(dt, 4)
+        entry[f"svds_{mode}_err"] = serr
+    entry["svds_speedup"] = round(entry["svds_host_s"]
+                                  / entry["svds_device_s"], 3)
+
     with open(OUT, "a") as f:
         f.write(json.dumps(entry) + "\n")
     log("DONE")

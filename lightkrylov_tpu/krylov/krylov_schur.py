@@ -31,8 +31,9 @@ import numpy as np
 
 from .. import vectors
 from ..utils import linalg
+from ..utils.hessenberg import francis_filter
 
-__all__ = ["krylov_schur", "median_selector"]
+__all__ = ["iram_restart", "krylov_schur", "median_selector"]
 
 
 def median_selector(eigvals):
@@ -50,6 +51,68 @@ def _compress_basis(X, Z):
     kdim = Z.shape[0]
     X_lead = jax.tree.map(lambda l: l[:kdim], X)
     return vectors.linear_combination(X_lead, Z)
+
+
+@jax.jit
+def iram_restart(X, H, n_target):
+    """Fully on-device restart via the exact-shift IRAM filter
+    (:func:`~lightkrylov_tpu.utils.hessenberg.francis_filter`) — the
+    device-mode replacement for :func:`krylov_schur`'s host
+    ``schur``/``ordschur`` step when the selection is the default
+    keep-``n_target``-largest-by-modulus (the reference's median selector
+    intent, IterativeSolvers.fypp:1099-1100).
+
+    Applies the filter sweeps to ``H``, compresses the basis with the
+    accumulated ``Z[:, :n]`` (tall-skinny GEMM), and forms the new
+    residual by the standard IRAM update
+    ``f = Hf[n, n-1] (X Z)[:, n] + beta Z[kdim-1, n-1] x_res``.  Unlike
+    the Krylov-Schur arrow form, the result is a PURE Arnoldi
+    factorization: ``H'`` is Hessenberg with a single coupling
+    ``H'[n, n-1] = ||f||``.
+
+    Returns ``(X', H', n, ok)`` with ``n`` a device scalar (usable
+    directly as ``kstart = n + 1`` for the next jitted sweep — no host
+    round-trip) and ``ok`` the filter eigensolve's convergence flag
+    (``False`` only means the shifts aimed poorly; the factorization
+    stays exact either way).
+    """
+    kdim = H.shape[1]
+    Hk = H[:kdim, :kdim]
+    Hf, Z, n, ok = francis_filter(Hk, n_target)
+    idx = jnp.arange(kdim)
+    beta = H[kdim, kdim - 1]
+    nm1 = jnp.maximum(n - 1, 0)
+
+    # compress columns 0..n (column n feeds the residual update)
+    Zc = jnp.where(idx[None, :] <= n, Z, 0.0)
+    X_lead = jax.tree.map(lambda l: l[:kdim], X)
+    Xc = vectors.linear_combination(X_lead, Zc)
+    v_next = vectors.get_column(Xc, n)
+    x_res = vectors.get_column(X, kdim)
+    c1 = Hf[n, nm1]
+    c2 = beta * Z[kdim - 1, nm1]
+    f = jax.tree.map(lambda a, b: c1 * a.astype(Hf.dtype) + c2 * b,
+                     v_next, x_res)
+    bn = vectors.norm(f)
+    inv = jnp.where(bn > 0, 1.0 / jnp.where(bn == 0, 1.0, bn), 0.0)
+    v_new = vectors.scal(inv.astype(Hf.dtype), f)
+
+    # new basis: kept block, residual direction at column n, zeros beyond
+    # (buffer invariant: unfilled columns exactly zero)
+    Xc = jax.tree.map(
+        lambda l: jnp.where((idx < n).reshape((kdim,) + (1,) * (l.ndim - 1)),
+                            l, 0.0),
+        Xc)
+    X_new = jax.tree.map(
+        lambda c, full: jnp.concatenate([c, jnp.zeros_like(full[:1])],
+                                        axis=0), Xc, X)
+    X_new = vectors.set_column(X_new, n, v_new)
+
+    mask = (idx[:, None] < n) & (idx[None, :] < n)
+    H_new = jnp.zeros_like(H)
+    H_new = H_new.at[:kdim, :kdim].set(jnp.where(mask, Hf, 0.0))
+    H_new = H_new.at[n, nm1].set(bn.astype(Hf.dtype))
+    return X_new, H_new, n, ok
 
 
 def krylov_schur(X, H, select=None):

@@ -104,6 +104,33 @@ def _fused_lanczos_sweep(A, X, T, kstart, kend, nev, tol, btol):
     return jax.lax.while_loop(cond, body, init)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _thick_restart_device(X, T, w, V, n: int):
+    """Fully on-device thick restart (device-mode counterpart of the host
+    assembly below): compress onto the leading ``n`` Ritz pairs of the
+    fused sweep's device outputs (``w``/``V`` sorted descending), rebuild
+    ``T = diag(w[:n])`` with the coupling row ``beta * V[kdim-1, :n]`` at
+    row ``n``, and move the residual vector to column ``n`` — zero host
+    round-trips (``n`` is static: the keep count does not depend on the
+    spectrum)."""
+    kdim = T.shape[1]
+    idx = jnp.arange(kdim)
+    beta = T[kdim, kdim - 1]
+    keep = idx < n
+    Vk = jnp.where(keep[None, :], V, 0.0)
+    X_lead = jax.tree.map(lambda l: l[:kdim], X)
+    Xc = vectors.linear_combination(X_lead, Vk)
+    T_new = jnp.zeros_like(T)
+    T_new = T_new.at[idx, idx].set(jnp.where(keep, w, 0.0))
+    T_new = T_new.at[n, :].set(jnp.where(keep, beta * V[kdim - 1, :], 0.0))
+    x_res = vectors.get_column(X, kdim)
+    X_new = jax.tree.map(
+        lambda c, full: jnp.concatenate([c, jnp.zeros_like(full[:1])],
+                                        axis=0), Xc, X)
+    X_new = vectors.set_column(X_new, n, x_res)
+    return X_new, T_new
+
+
 @jax.jit
 def _thick_restart_compress(X, V_keep, diag_w, coupling):
     """On-device compression: Xc = X[:kdim] @ V_keep (tall-skinny GEMM) and
@@ -189,10 +216,18 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
             if n_conv >= nev or invariant:
                 break
             if cycle < opts.maxiter - 1 and k_final == kdim:
-                evecs = np.asarray(jax.device_get(V_dev))  # restart needs it
-                evecs_device = None
-            else:
-                continue
+                # fully on-device thick restart from the sweep's device
+                # outputs — no V fetch, no host assembly
+                n = min(max(nev + (kdim - nev) // 2, nev + 1), kdim - 1)
+                X, T = _thick_restart_device(X, T, w_d, V_dev, n)
+                kstart = n + 1
+                ckpt.save({"X": X, "H": T, "kstart": np.int64(kstart),
+                           "cycle": np.int64(cycle + 1),
+                           "niter": np.int64(niter)})
+                log_information(
+                    f"eighs: thick restart cycle {cycle + 1}, kept n={n}, "
+                    f"{n_conv}/{nev} converged", "solvers", "eighs")
+            continue
         else:
             k = kstart
             while k <= kdim:

@@ -41,7 +41,7 @@ import numpy as np
 
 from .. import constants, vectors
 from ..krylov.arnoldi import arnoldi, arnoldi_step, initialize_arnoldi
-from ..krylov.krylov_schur import krylov_schur, median_selector
+from ..krylov.krylov_schur import iram_restart, krylov_schur, median_selector
 from ..linops import aslinop
 from ..utils import linalg
 from ..utils.hessenberg import hessenberg_ritz
@@ -269,6 +269,10 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     cycle0 = 0
     n_conv = 0
     niter = 0
+    # IRAM device restarts require (and preserve) a purely Hessenberg H;
+    # a host Krylov-Schur restart leaves the arrow form, after which the
+    # device restart would be truncation-only — route those to the host
+    h_is_hessenberg = True
     ckpt = _DriverCheckpointer(opts.checkpoint_every, opts.checkpoint_path)
     if resume_from is not None:
         st = _resume_driver_state(
@@ -277,6 +281,8 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             resume_from)
         X, H = st["X"], st["H"]
         kstart, cycle0, niter = st["kstart"], st["cycle"], st["niter"]
+        Hh_r = np.asarray(jax.device_get(H))
+        h_is_hessenberg = bool(np.all(np.tril(Hh_r[:kdim, :kdim], -2) == 0))
         log_information(
             f"eigs: resumed from {resume_from} (cycle {cycle0}, "
             f"kstart {kstart}, {niter} matvecs done)", "solvers", "eigs")
@@ -293,13 +299,17 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             # ONE batched fetch per restart cycle
             X, H, k_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, Vr, Vi, dok = \
                 _fused_sweep(A, X, H, kstart, kdim, nev, tol, btol, transpose)
-            k_fin, ainfo, n_conv, wr_h, wi_h, r_all, dok_h = jax.device_get(
-                (k_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, dok))
+            # ONE batched fetch; kstart may be a device scalar left by the
+            # on-device IRAM restart of the previous cycle
+            (k_fin, ainfo, n_conv, wr_h, wi_h, r_all, dok_h,
+             kstart_h) = jax.device_get(
+                (k_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, dok, kstart))
             k_fin, ainfo, n_conv = int(k_fin), int(ainfo), int(n_conv)
+            kstart_h = int(kstart_h)
             check_info(ainfo, "arnoldi", "solvers", "eigs")
             k_eff = ainfo if ainfo > 0 else k_fin
-            niter += k_fin - (kstart - 1)
-            count_applications(A, k_fin - (kstart - 1),
+            niter += k_fin - (kstart_h - 1)
+            count_applications(A, k_fin - (kstart_h - 1),
                                "rmatvec" if transpose else "matvec")
             if bool(dok_h) or k_eff == 0:
                 w = (np.asarray(wr_h) + 1j * np.asarray(wi_h))[:k_eff]
@@ -327,14 +337,30 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             if n_conv >= nev or invariant:
                 break
             if cycle < opts.maxiter - 1:
-                X, H, n = krylov_schur(X, H, select)
-                kstart = n + 1
-                ckpt.save({"X": X, "H": H, "kstart": np.int64(kstart),
-                           "cycle": np.int64(cycle + 1),
-                           "niter": np.int64(niter)})
-                log_information(
-                    f"eigs: restart cycle {cycle + 1}, compressed to n={n}, "
-                    f"{n_conv}/{nev} converged", "solvers", "eigs")
+                if select is median_selector and h_is_hessenberg:
+                    # fully on-device IRAM filter restart — no host
+                    # round-trip; kstart stays a device scalar and rides
+                    # the next cycle's batched fetch
+                    X, H, n_dev, _rok = iram_restart(X, H, kdim // 2)
+                    kstart = n_dev + 1
+                    if ckpt.due:  # checkpointing needs concrete indices
+                        kstart = int(jax.device_get(n_dev)) + 1
+                        ckpt.save({"X": X, "H": H,
+                                   "kstart": np.int64(kstart),
+                                   "cycle": np.int64(cycle + 1),
+                                   "niter": np.int64(niter)})
+                else:
+                    # custom selector (or arrow-form H): host Krylov-Schur
+                    X, H, n = krylov_schur(X, H, select)
+                    h_is_hessenberg = False  # arrow form from here on
+                    kstart = n + 1
+                    ckpt.save({"X": X, "H": H, "kstart": np.int64(kstart),
+                               "cycle": np.int64(cycle + 1),
+                               "niter": np.int64(niter)})
+                    log_information(
+                        f"eigs: restart cycle {cycle + 1}, compressed to "
+                        f"n={n}, {n_conv}/{nev} converged",
+                        "solvers", "eigs")
             continue
         k = kstart
         while k <= kdim:

@@ -92,6 +92,31 @@ def _fused_bidiag_sweep(A, U, V, B, kstart, kend, nsv, tol, btol):
     return jax.lax.while_loop(cond, body, init)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _svds_thick_restart_device(U, V, B, s, um, vm, n: int):
+    """Fully on-device Baglama-Reichel thick restart from the fused
+    sweep's device outputs — no singular-vector fetch, no host assembly
+    (``n`` is static; see the host path below for the algebra)."""
+    kdim = B.shape[1]
+    idx = jnp.arange(kdim)
+    keep = idx < n
+    beta = B[kdim, kdim - 1]
+    Pk = jnp.where(keep[None, :], um, 0.0)
+    Qk = jnp.where(keep[None, :], vm, 0.0)
+    U_lead = jax.tree.map(lambda l: l[:kdim], U)
+    Uc = vectors.linear_combination(U_lead, Pk)
+    Vc = vectors.linear_combination(V, Qk)
+    u_res = vectors.get_column(U, kdim)
+    U_new = jax.tree.map(
+        lambda c, full: jnp.concatenate([c, jnp.zeros_like(full[:1])],
+                                        axis=0), Uc, U)
+    U_new = vectors.set_column(U_new, n, u_res)
+    B_new = jnp.zeros_like(B)
+    B_new = B_new.at[idx, idx].set(jnp.where(keep, s, 0.0))
+    B_new = B_new.at[n, :].set(jnp.where(keep, beta * vm[kdim - 1, :], 0.0))
+    return U_new, Vc, B_new
+
+
 @timed_fn("svds", "IterativeSolvers")
 def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
          tolerance: float | None = None, options: SVDSOptions | None = None,
@@ -169,12 +194,19 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
             if n_conv >= nsv or invariant:
                 break
             if cycle < opts.maxiter - 1 and k_final == kdim:
-                um_h, vm_h = jax.device_get((um_dev, vm_dev))
-                umat, vmat = np.asarray(um_h), np.asarray(vm_h)
-                svecs_device = None
-            else:
-                continue
-            # fall through to the shared thick-restart block below
+                # fully on-device thick restart — no fetch, no host math
+                n = min(max(nsv + (kdim - nsv) // 2, nsv + 1), kdim - 1)
+                U, V, B = _svds_thick_restart_device(
+                    U, V, B, s_d, um_dev, vm_dev, n)
+                kstart = n + 1
+                ckpt.save({"U": U, "V": V, "B": B,
+                           "kstart": np.int64(kstart),
+                           "cycle": np.int64(cycle + 1),
+                           "niter": np.int64(niter)})
+                log_information(
+                    f"svds: thick restart cycle {cycle + 1}, kept n={n}, "
+                    f"{n_conv}/{nsv} converged", "solvers", "svds")
+            continue
         else:
             k = kstart
             while k <= kdim:

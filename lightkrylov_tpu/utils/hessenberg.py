@@ -44,7 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hessenberg_eigvals", "hessenberg_eigvecs", "hessenberg_ritz"]
+__all__ = ["francis_filter", "hessenberg_eigvals", "hessenberg_eigvecs",
+           "hessenberg_ritz"]
 
 
 def _full_precision(fn):
@@ -81,7 +82,7 @@ def _householder3(x, y, z):
     return P
 
 
-def _chase(H, lo, hi, s, t):
+def _chase(H, lo, hi, s, t, Z=None):
     """One Francis double-implicit-shift bulge chase on window ``[lo, hi]``
     (0-indexed, inclusive; size >= 3) with shift sum ``s`` / product ``t``
     (Golub & Van Loan Alg. 7.5.1-7.5.2).  ``lo``/``hi`` are traced scalars;
@@ -89,16 +90,26 @@ def _chase(H, lo, hi, s, t):
     window.  Row/column updates apply to full slices — entries outside the
     window in the touched rows/cols are exactly zero by the Hessenberg +
     deflation structure, so full-slice application is the correct global
-    similarity."""
-    n = H.shape[0]
-    if n < 3:  # a size-3 window cannot exist; branch is traced regardless
-        return H
+    similarity.
 
-    def step(p, H):
+    With ``Z`` (an ``n x n`` matrix), the accumulated right transform is
+    also returned (``Z <- Z Q`` for ``H <- Q^T H Q``) — needed by the
+    IRAM filter restart, which compresses the Krylov basis with ``Z``.
+    Returns ``H`` alone when ``Z is None``, else ``(H, Z)``."""
+    n = H.shape[0]
+    with_z = Z is not None
+    if n < 3:  # a size-3 window cannot exist; branch is traced regardless
+        return (H, Z) if with_z else H
+    if not with_z:
+        Z = jnp.zeros((0, n), H.dtype)  # static empty: updates are no-ops
+
+    def step(p, HZ):
+        H, Z = HZ
         p = jnp.asarray(p, jnp.int32)
         active = (p >= lo) & (p <= hi - 2)
 
-        def do(H):
+        def do(HZ):
+            H, Z = HZ
             # first position: implicit first column of (H - aI)(H - bI) e1;
             # later positions: the bulge column p-1
             h00 = H[lo, lo]
@@ -119,15 +130,18 @@ def _chase(H, lo, hi, s, t):
             H2 = jax.lax.dynamic_update_slice(H, P @ rows, (p, jnp.int32(0)))
             cols = jax.lax.dynamic_slice(H2, (jnp.int32(0), p), (n, 3))
             H2 = jax.lax.dynamic_update_slice(H2, cols @ P, (jnp.int32(0), p))
+            zc = jax.lax.dynamic_slice(Z, (jnp.int32(0), p),
+                                       (Z.shape[0], 3))
+            Z2 = jax.lax.dynamic_update_slice(Z, zc @ P, (jnp.int32(0), p))
             # annihilated bulge entries: exactly zero (standard practice —
             # roundoff residue here would masquerade as a coupling)
             H2 = jnp.where(first, H2,
                            H2.at[p + 1, pm1].set(0.0).at[p + 2, pm1].set(0.0))
-            return H2
+            return H2, Z2
 
-        return jax.lax.cond(active, do, lambda H: H, H)
+        return jax.lax.cond(active, do, lambda HZ: HZ, (H, Z))
 
-    H = jax.lax.fori_loop(0, max(n - 2, 0), step, H)
+    H, Z = jax.lax.fori_loop(0, max(n - 2, 0), step, (H, Z))
 
     # final Givens on rows/cols (hi-1, hi) zeroing H[hi, hi-2]
     x = H[hi - 1, hi - 2]
@@ -141,8 +155,10 @@ def _chase(H, lo, hi, s, t):
     H = jax.lax.dynamic_update_slice(H, G @ rows, (hi - 1, jnp.int32(0)))
     cols = jax.lax.dynamic_slice(H, (jnp.int32(0), hi - 1), (n, 2))
     H = jax.lax.dynamic_update_slice(H, cols @ G.T, (jnp.int32(0), hi - 1))
+    zc = jax.lax.dynamic_slice(Z, (jnp.int32(0), hi - 1), (Z.shape[0], 2))
+    Z = jax.lax.dynamic_update_slice(Z, zc @ G.T, (jnp.int32(0), hi - 1))
     H = H.at[hi, hi - 2].set(0.0)
-    return H
+    return (H, Z) if with_z else H
 
 
 def _embed(H, k_eff):
@@ -158,7 +174,7 @@ def _embed(H, k_eff):
     return Hm.at[idx, idx].set(diag), active
 
 
-def _to_hessenberg(H):
+def _to_hessenberg(H, Z=None):
     """Householder similarity reduction to upper Hessenberg form (GEHRD
     analogue), fully vectorized per column.
 
@@ -166,15 +182,22 @@ def _to_hessenberg(H):
     sweep — after a Krylov-Schur restart it is quasi-triangular with a full
     ``b`` row appended (the Krylov-Schur form, BaseKrylov.fypp:782-834),
     which the Francis chase's structural assumptions do not cover.
-    Similarity only — eigenvectors are later computed from the *original*
-    matrix by inverse iteration, so no back-transform is required."""
+    Similarity only for the eigensolve path — eigenvectors are later
+    computed from the *original* matrix by inverse iteration, so no
+    back-transform is required there.  With ``Z``, the accumulated right
+    transform is also returned (``(H, Z)``), for callers that transform a
+    basis (the IRAM filter restart)."""
     n = H.shape[0]
+    with_z = Z is not None
     if n < 3:
-        return H
+        return (H, Z) if with_z else H
     dt = H.dtype
     rows = jnp.arange(n)
+    if not with_z:
+        Z = jnp.zeros((0, n), dt)  # static empty: updates are no-ops
 
-    def step(j, H):
+    def step(j, HZ):
+        H, Z = HZ
         col = H[:, j]
         below = rows > j
         x = jnp.where(below, col, 0.0)
@@ -187,13 +210,15 @@ def _to_hessenberg(H):
         inv = jnp.where(safe, 2.0 / jnp.where(safe, un2, 1.0), 0.0)
         H = H - inv * jnp.outer(u, u @ H)
         H = H - inv * jnp.outer(H @ u, u)
+        Z = Z - inv * jnp.outer(Z @ u, u)
         # annihilated entries: exactly zero (roundoff residue would read
         # as couplings downstream)
         keep = ~below | (rows == j + 1)
         H = H.at[:, j].set(jnp.where(keep, H[:, j], 0.0))
-        return H
+        return H, Z
 
-    return jax.lax.fori_loop(0, n - 2, step, H)
+    H, Z = jax.lax.fori_loop(0, n - 2, step, (H, Z))
+    return (H, Z) if with_z else H
 
 
 def _schur_core(H):
@@ -326,6 +351,100 @@ def hessenberg_eigvals(H, k_eff=None):
     wr = jnp.where(active, wr, 0.0)
     wi = jnp.where(active, wi, 0.0)
     return wr, wi, ok
+
+
+@partial(jax.jit, static_argnames=())
+@_full_precision
+def francis_filter(H_sq, n_target):
+    """Exact-shift IRAM filter for a Krylov restart, fully on device.
+
+    Applies ``(kdim - n) / 2`` Francis double-shift sweeps to the square
+    Hessenberg ``H_sq``, with the shifts taken pairwise from the
+    smallest-modulus eigenvalues (the unwanted part of the spectrum —
+    equivalent in intent to the reference's median-of-|lambda| Krylov-Schur
+    selector, IterativeSolvers.fypp:1099-1100,1137-1142, but via the
+    implicitly-restarted-Arnoldi filter-polynomial route, which needs no
+    Schur reordering and keeps ``H`` purely Hessenberg).  ``n_target`` may
+    be traced; it is adjusted so no complex-conjugate pair straddles the
+    kept/unwanted boundary and so the unwanted count is even, then clamped
+    to ``[1, kdim - 2]``.
+
+    Returns ``(Hf, Z, n, ok)``: the filtered Hessenberg, the accumulated
+    orthogonal transform (``Hf = Z^T H Z``), the adjusted keep count, and
+    the eigensolve convergence flag.  The caller compresses the basis with
+    ``Z[:, :n]`` and forms the new residual from column ``n`` of ``Z`` and
+    the old residual vector (the standard IRAM update).
+    """
+    kdim = H_sq.shape[0]
+    dt = H_sq.dtype
+    Zh = jnp.eye(kdim, dtype=dt)
+    # STRICT Hessenberg contract: the single-residual IRAM truncation
+    # needs e_k^T Z supported on the last p+1 columns, which holds only
+    # when every applied transform is a (banded) chase on a Hessenberg
+    # matrix.  Reducing an ARROW input (host Krylov-Schur form) first
+    # would densify Z's last row and silently break the truncated
+    # factorization — on arrow input we apply NO sweeps (a pure
+    # truncation of the factorization, which is always exact) and report
+    # ``ok = False`` so the caller can filter another way.
+    hess_in = jnp.all(jnp.abs(jnp.tril(H_sq, -2)) == 0)
+    wr, wi, ok = hessenberg_eigvals(H_sq)
+    mod = wr * wr + wi * wi
+    # descending modulus; ties broken so conjugate pairs sit adjacent
+    order = jnp.lexsort((wi, wr, -mod))
+
+    def straddles(n):
+        # does the kept/unwanted boundary split a conjugate pair?
+        a = order[jnp.clip(n - 1, 0, kdim - 1)]
+        b = order[jnp.clip(n, 0, kdim - 1)]
+        return (wi[a] != 0) & (wr[a] == wr[b]) & (wi[a] == -wi[b])
+
+    # adjust n to a FIXED POINT: each +1 can create a new straddle or odd
+    # parity at the boundary (the one-shot check let a pair straddle and
+    # produced a mixed — hence inexact — shift pair, whose failed
+    # deflation filled the sub-Hessenberg and broke the truncation)
+    def adj_cond(n):
+        odd = (kdim - n) % 2 == 1
+        return (straddles(n) | odd) & (n < kdim - 2)
+
+    n = jax.lax.while_loop(adj_cond, lambda n: n + 1,
+                           jnp.asarray(n_target, jnp.int32))
+    n = jnp.clip(n, 1, kdim - 2).astype(jnp.int32)
+    # apply NO shifts (exact pure truncation) on an unresolvable straddle
+    # at the clamp (pathological) or a non-Hessenberg (arrow) input
+    pure = ~straddles(n) & hess_in
+
+    # shift application order: complex pairs first, then reals — EVERY
+    # consecutive pair is then a true conjugate pair or two reals, so all
+    # shifts are exact eigenvalues and each sweep genuinely deflates its
+    # pair at the window bottom (mandatory: chasing past an un-deflated
+    # coupling fills the sub-Hessenberg and invalidates the truncation)
+    rank = jnp.zeros(kdim, jnp.int32).at[order].set(
+        jnp.arange(kdim, dtype=jnp.int32))
+    is_real = (wi == 0)
+    key = jnp.where(rank >= n,
+                    is_real.astype(jnp.int32) * kdim + rank,
+                    3 * kdim + rank)  # wanted pushed past every unwanted
+    shift_order = jnp.argsort(key)
+
+    def sweep(j, HZ):
+        Hc, Zc = HZ
+        active = ((2 * j + 1) < (kdim - n)) & pure
+        ia = shift_order[jnp.clip(2 * j, 0, kdim - 1)]
+        ib = shift_order[jnp.clip(2 * j + 1, 0, kdim - 1)]
+        s = wr[ia] + wr[ib]
+        t = wr[ia] * wr[ib] - wi[ia] * wi[ib]
+        # each exact double shift deflates its pair at the BOTTOM of the
+        # window; the next sweep must stop above it or the chase
+        # re-scrambles already-filtered eigenvalues (ARPACK dnapps
+        # shrinks the same way)
+        hi = jnp.int32(kdim - 1) - 2 * j.astype(jnp.int32)
+        return jax.lax.cond(
+            active,
+            lambda hz: _chase(hz[0], jnp.int32(0), hi, s, t, Z=hz[1]),
+            lambda hz: hz, (Hc, Zc))
+
+    Hf, Z = jax.lax.fori_loop(0, kdim // 2, sweep, (H_sq, Zh))
+    return Hf, Z, n, ok & pure
 
 
 def _eigvec_rhs(n, dt):

@@ -208,3 +208,94 @@ def test_svds_device_matches_host(dtype, rng):
             t = np.linalg.norm(Am @ np.asarray(V)[i]
                                - float(S[i]) * np.asarray(U)[i])
             assert t < 1e4 * tol * sref[0]
+
+
+def test_iram_restart_factorization(rng):
+    """On-device IRAM filter restart preserves the Arnoldi identity
+    ``A X'[:, :n] = X'[:, :n+1] H'[:n+1, :n]`` exactly, keeps the basis
+    orthonormal, and keeps precisely the n largest-modulus Ritz values
+    (the reference's median-selector intent,
+    IterativeSolvers.fypp:1099-1100)."""
+    from lightkrylov_tpu.krylov.arnoldi import arnoldi, initialize_arnoldi
+    from lightkrylov_tpu.krylov.krylov_schur import iram_restart, krylov_schur
+
+    N, kdim = 64, 16
+    Am = rng.standard_normal((N, N))
+    op = lk.DenseOperator(jnp.asarray(Am))
+    x0 = jnp.asarray(rng.standard_normal(N))
+    X, H = initialize_arnoldi(x0, kdim)
+    X, H, _ = arnoldi(op, X, H, kstart=1, kend=kdim)
+    Hh = np.asarray(H)
+
+    Xn, Hn, n, ok = iram_restart(X, H, kdim // 2)
+    n = int(n)
+    assert bool(ok)
+    Xn_h, Hn_h = np.asarray(Xn), np.asarray(Hn)
+    r = np.linalg.norm(Am @ Xn_h[:n].T - Xn_h[:n + 1].T @ Hn_h[:n + 1, :n])
+    assert r < 1e-12 * np.abs(Hh).max()
+    G = Xn_h[:n + 1] @ Xn_h[:n + 1].T
+    assert np.linalg.norm(G - np.eye(n + 1)) < 1e-12
+    # kept Ritz values = n largest-modulus eigenvalues of the old H
+    wf = np.sort_complex(np.linalg.eigvals(Hn_h[:n, :n]))
+    wH = np.linalg.eigvals(Hh[:kdim, :kdim])
+    wH = np.sort_complex(wH[np.argsort(-np.abs(wH))][:n])
+    assert np.max(np.abs(wf - wH)) < 1e-12 * np.abs(wH).max()
+    # buffer invariant: unfilled columns exactly zero
+    assert np.all(Xn_h[n + 1:] == 0)
+    assert np.all(Hn_h[:, n:] == 0)
+
+
+def test_iram_restart_arrow_input_degrades_safely(rng):
+    """On the Krylov-Schur ARROW form (full b row, BaseKrylov.fypp:782-834)
+    the IRAM restart must NOT filter (the single-residual truncation is
+    only exact for Hessenberg input): it reports ``ok = False`` and falls
+    back to a pure truncation, which keeps the factorization identity
+    exact.  The eigs driver routes arrow cases to the host Krylov-Schur
+    path instead (``h_is_hessenberg`` tracking)."""
+    from lightkrylov_tpu.krylov.arnoldi import arnoldi, initialize_arnoldi
+    from lightkrylov_tpu.krylov.krylov_schur import iram_restart, krylov_schur
+
+    N, kdim = 64, 16
+    Am = rng.standard_normal((N, N))
+    op = lk.DenseOperator(jnp.asarray(Am))
+    x0 = jnp.asarray(rng.standard_normal(N))
+    X, H = initialize_arnoldi(x0, kdim)
+    X, H, _ = arnoldi(op, X, H, kstart=1, kend=kdim)
+    X, H, m = krylov_schur(X, H)          # host: arrow form
+    X, H, _ = arnoldi(op, X, H, kstart=m + 1, kend=kdim)  # refill
+    Xn, Hn, n, ok = iram_restart(X, H, kdim // 2)
+    n = int(n)
+    assert not bool(ok)  # no filtering on arrow input
+    assert n >= m        # truncation keeps the arrow row inside the block
+    Xn_h, Hn_h = np.asarray(Xn), np.asarray(Hn)
+    r = np.linalg.norm(Am @ Xn_h[:n].T - Xn_h[:n + 1].T @ Hn_h[:n + 1, :n])
+    assert r < 1e-11 * np.abs(np.asarray(H)).max()
+    G = Xn_h[:n + 1] @ Xn_h[:n + 1].T
+    assert np.linalg.norm(G - np.eye(n + 1)) < 1e-11
+
+
+def test_device_thick_restart_paths(rng):
+    """Small kdim forces thick restarts through the fully on-device
+    compression for both eighs and svds (device outputs w/V, um/vm feed
+    the restart directly — no host assembly)."""
+    N = 96
+    op = TridiagToeplitz(N, 4.0, -1.0, -1.0, dtype=jnp.float64)
+    exact = np.sort(toeplitz_eigvals(N, 4.0, -1.0).real)[::-1]
+    x0 = vectors.rand_like(jax.random.PRNGKey(4), jnp.zeros(N, jnp.float64))
+    evals, evecs, res, info, meta = lk.eighs(
+        op, 4, x0=x0, kdim=10, tolerance=1e-9,
+        options=lk.EigsOptions(projected="device", maxiter=120))
+    assert meta.converged and meta.n_iter > 10  # restarts actually ran
+    err = np.max(np.abs(np.asarray(evals) - exact[:4]) / exact[:4])
+    assert err < 1e-8
+
+    m, n2 = 80, 60
+    Am = rng.standard_normal((m, n2))
+    ops = lk.DenseOperator(jnp.asarray(Am))
+    sref = np.linalg.svd(Am, compute_uv=False)
+    u0 = jnp.asarray(rng.standard_normal(m))
+    U, S, V, sres, sinfo, smeta = lk.svds(
+        ops, 3, u0=u0, v_template=jnp.zeros(n2), kdim=8, tolerance=1e-10,
+        options=lk.SVDSOptions(projected="device", maxiter=120))
+    assert smeta.converged and smeta.n_iter > 8
+    assert np.max(np.abs(np.asarray(S) - sref[:3]) / sref[:3]) < 1e-9
