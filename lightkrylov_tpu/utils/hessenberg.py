@@ -426,18 +426,31 @@ def francis_filter(H_sq, n_target):
                     3 * kdim + rank)  # wanted pushed past every unwanted
     shift_order = jnp.argsort(key)
 
+    eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
+    ii = jnp.arange(kdim - 1, dtype=jnp.int32)
+
     def sweep(j, HZ):
         Hc, Zc = HZ
-        active = ((2 * j + 1) < (kdim - n)) & pure
+        # explicit deflation (dlahqr-style threshold), then chase ONLY the
+        # top-connected block: each exact double shift deflates its pair
+        # at the window bottom, and the next sweep must stop at the first
+        # LIVE coupling boundary.  Chasing past an un-deflated coupling
+        # (the blind shrink-by-2 did, whenever f32 shift error ~ kappa*eps
+        # left a pair un-deflated on a non-normal spectrum) fills the
+        # sub-Hessenberg and silently corrupts the truncation — caught by
+        # the GL flagship's kappa-budget anchors.
+        d = jnp.abs(jnp.diagonal(Hc))
+        sub = Hc[ii + 1, ii]
+        tst = d[:-1] + d[1:]
+        tst = jnp.where(tst == 0, jnp.max(jnp.abs(Hc)), tst)
+        sub = jnp.where(jnp.abs(sub) <= eps * tst, 0.0, sub)
+        Hc = Hc.at[ii + 1, ii].set(sub)
+        hi = jnp.min(jnp.where(sub == 0, ii, jnp.int32(kdim - 1)))
+        active = ((2 * j + 1) < (kdim - n)) & pure & (hi >= 2)
         ia = shift_order[jnp.clip(2 * j, 0, kdim - 1)]
         ib = shift_order[jnp.clip(2 * j + 1, 0, kdim - 1)]
         s = wr[ia] + wr[ib]
         t = wr[ia] * wr[ib] - wi[ia] * wi[ib]
-        # each exact double shift deflates its pair at the BOTTOM of the
-        # window; the next sweep must stop above it or the chase
-        # re-scrambles already-filtered eigenvalues (ARPACK dnapps
-        # shrinks the same way)
-        hi = jnp.int32(kdim - 1) - 2 * j.astype(jnp.int32)
         return jax.lax.cond(
             active,
             lambda hz: _chase(hz[0], jnp.int32(0), hi, s, t, Z=hz[1]),

@@ -510,3 +510,39 @@ def test_gmres_dcgs2_on_mesh_matches_cgs2(mesh):
     n_cgs2 = _count_allreduce_ops(hlos["cgs2"])
     n_dcgs2 = _count_allreduce_ops(hlos["dcgs2"])
     assert n_dcgs2 < n_cgs2, (n_dcgs2, n_cgs2)
+
+
+def test_device_projected_paths_on_sharded_poisson(mesh):
+    """The fused on-device projected eigensolves + device restarts
+    (round 4) compose with a row-partitioned operator: the small
+    projected problem is replicated, the basis stays sharded, and the
+    results match the closed-form spectrum (eigs exercises the IRAM
+    device restart via small kdim)."""
+    nx, ny = 16, 32
+    sharded = ShardedPoisson2D(nx, ny, mesh=mesh, dtype=jnp.float64)
+    exact = np.sort(poisson2d_eigvals(nx, ny))[::-1]
+    x0 = distribute(
+        jnp.asarray(np.random.default_rng(11).standard_normal((ny, nx))),
+        mesh, P(mesh.axis_names[0], None))
+
+    # eighs: fused Lanczos sweep + device thick restart
+    evals, evecs, res, info, meta = lk.eighs(
+        sharded, 4, x0=x0, kdim=24, tolerance=1e-9,
+        options=lk.EigsOptions(projected="device", maxiter=200))
+    assert meta.converged
+    err = np.max(np.abs(np.asarray(evals) - exact[:4]) / exact[:4])
+    assert err < 1e-8
+    spec = jax.tree_util.tree_leaves(evecs)[0].sharding.spec
+    assert mesh.axis_names[0] in spec
+
+    # eigs: fused Arnoldi sweep + IRAM device restart (SPD operator, so
+    # the spectrum is known; kdim small enough to force restarts)
+    evals2, evecs2, res2, info2, meta2 = lk.eigs(
+        sharded, 3, x0=x0, kdim=12, tolerance=1e-8,
+        options=lk.EigsOptions(projected="device", maxiter=200))
+    assert meta2.converged
+    got = np.asarray(evals2).real
+    err2 = np.max(np.abs(np.sort(got)[::-1] - exact[:3]) / exact[:3])
+    assert err2 < 1e-6
+    spec2 = jax.tree_util.tree_leaves(evecs2)[0].sharding.spec
+    assert mesh.axis_names[0] in spec2
