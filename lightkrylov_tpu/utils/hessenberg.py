@@ -103,45 +103,47 @@ def _chase(H, lo, hi, s, t, Z=None):
     if not with_z:
         Z = jnp.zeros((0, n), H.dtype)  # static empty: updates are no-ops
 
-    def step(p, HZ):
-        H, Z = HZ
-        p = jnp.asarray(p, jnp.int32)
-        active = (p >= lo) & (p <= hi - 2)
+    def cond(c):
+        # exactly the active positions [lo, hi-2] — no masked iterations
+        # (a fori over the full static range with a lax.cond per position
+        # wastes most steps once deflation shrinks the windows)
+        return c[2] <= hi - 2
 
-        def do(HZ):
-            H, Z = HZ
-            # first position: implicit first column of (H - aI)(H - bI) e1;
-            # later positions: the bulge column p-1
-            h00 = H[lo, lo]
-            h01 = H[lo, lo + 1]
-            h10 = H[lo + 1, lo]
-            h11 = H[lo + 1, lo + 1]
-            h21 = H[lo + 2, lo + 1]
-            x0 = h00 * h00 + h01 * h10 - s * h00 + t
-            y0 = h10 * (h00 + h11 - s)
-            z0 = h10 * h21
-            pm1 = jnp.maximum(p - 1, 0)
-            first = p == lo
-            x = jnp.where(first, x0, H[p, pm1])
-            y = jnp.where(first, y0, H[p + 1, pm1])
-            z = jnp.where(first, z0, H[p + 2, pm1])
-            P = _householder3(x, y, z)
-            rows = jax.lax.dynamic_slice(H, (p, jnp.int32(0)), (3, n))
-            H2 = jax.lax.dynamic_update_slice(H, P @ rows, (p, jnp.int32(0)))
-            cols = jax.lax.dynamic_slice(H2, (jnp.int32(0), p), (n, 3))
-            H2 = jax.lax.dynamic_update_slice(H2, cols @ P, (jnp.int32(0), p))
-            zc = jax.lax.dynamic_slice(Z, (jnp.int32(0), p),
-                                       (Z.shape[0], 3))
-            Z2 = jax.lax.dynamic_update_slice(Z, zc @ P, (jnp.int32(0), p))
-            # annihilated bulge entries: exactly zero (standard practice —
-            # roundoff residue here would masquerade as a coupling)
-            H2 = jnp.where(first, H2,
-                           H2.at[p + 1, pm1].set(0.0).at[p + 2, pm1].set(0.0))
-            return H2, Z2
+    def step(c):
+        H, Z, p = c
+        # first position: implicit first column of (H - aI)(H - bI) e1;
+        # later positions: the bulge column p-1
+        h00 = H[lo, lo]
+        h01 = H[lo, lo + 1]
+        h10 = H[lo + 1, lo]
+        h11 = H[lo + 1, lo + 1]
+        h21 = H[lo + 2, lo + 1]
+        x0 = h00 * h00 + h01 * h10 - s * h00 + t
+        y0 = h10 * (h00 + h11 - s)
+        z0 = h10 * h21
+        pm1 = jnp.maximum(p - 1, 0)
+        first = p == lo
+        x = jnp.where(first, x0, H[p, pm1])
+        y = jnp.where(first, y0, H[p + 1, pm1])
+        z = jnp.where(first, z0, H[p + 2, pm1])
+        P = _householder3(x, y, z)
+        rows = jax.lax.dynamic_slice(H, (p, jnp.int32(0)), (3, n))
+        H2 = jax.lax.dynamic_update_slice(H, P @ rows, (p, jnp.int32(0)))
+        cols = jax.lax.dynamic_slice(H2, (jnp.int32(0), p), (n, 3))
+        H2 = jax.lax.dynamic_update_slice(H2, cols @ P, (jnp.int32(0), p))
+        zc = jax.lax.dynamic_slice(Z, (jnp.int32(0), p),
+                                   (Z.shape[0], 3))
+        Z2 = jax.lax.dynamic_update_slice(Z, zc @ P, (jnp.int32(0), p))
+        # annihilated bulge entries: exactly zero (standard practice —
+        # roundoff residue here would masquerade as a coupling)
+        H2 = jnp.where(first, H2,
+                       H2.at[p + 1, pm1].set(0.0).at[p + 2, pm1].set(0.0))
+        return H2, Z2, p + 1
 
-        return jax.lax.cond(active, do, lambda HZ: HZ, (H, Z))
-
-    H, Z = jax.lax.fori_loop(0, max(n - 2, 0), step, (H, Z))
+    # clamp the bulge position so the (3, n) slices stay in range even if
+    # a caller passes a degenerate window
+    p0 = jnp.clip(jnp.asarray(lo, jnp.int32), 0, n - 3)
+    H, Z, _ = jax.lax.while_loop(cond, step, (H, Z, p0))
 
     # final Givens on rows/cols (hi-1, hi) zeroing H[hi, hi-2]
     x = H[hi - 1, hi - 2]
