@@ -14,10 +14,15 @@ here we add standard *thick restart* (Wu & Simon): on non-convergence at
 the full CGS2 re-orthogonalization of :mod:`lanczos` keeps the identity
 ``A X_k = X_{k+1} T_k`` exact for the resulting arrowhead matrix.
 
-On TPU the dense eigensolve runs fully on-device (``jnp.linalg.eigh``
-lowers on TPU); only the convergence check syncs.  ``check_every = 0``
-(default) checks once per Lanczos sweep; ``check_every = 1`` reproduces the
-reference's per-step cadence.
+Two projected-eigensolve paths (``options.projected``, as in
+:mod:`eigs`): ``"device"`` (default on TPU via ``"auto"``, real dtypes)
+fuses ``lanczos_step`` + projected ``eigh`` + convergence check into ONE
+jitted ``while_loop`` per cycle and thick-restarts on device too — the
+reference's per-step cadence (eighs.fypp:79-101) at zero host
+round-trips with early exit on the first converged step.  ``"host"``
+(default on CPU) fetches ``T`` per check for a host ``eigh``;
+``check_every = 0`` (default) then checks once per Lanczos sweep and
+``check_every = 1`` reproduces the per-step cadence at one sync per step.
 """
 
 from __future__ import annotations
