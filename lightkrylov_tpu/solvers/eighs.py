@@ -75,7 +75,7 @@ def _ritz_check_sym(T, k_eff, tol, nev):
 
 
 @partial(jax.jit, static_argnames=())
-def _fused_lanczos_sweep(A, X, T, kstart, kend, nev, tol, btol):
+def _fused_lanczos_sweep(A, X, T, kstart, kend, nev, tol, btol, stride=1):
     """One Lanczos sweep with per-STEP on-device convergence checks:
     ``lanczos_step`` + projected ``eigh`` inside a single jitted
     ``while_loop`` — the reference's step-by-step cadence
@@ -87,6 +87,7 @@ def _fused_lanczos_sweep(A, X, T, kstart, kend, nev, tol, btol):
     kstart = jnp.asarray(kstart, jnp.int32)
     kend = jnp.asarray(kend, jnp.int32)
     nev = jnp.asarray(nev, jnp.int32)
+    stride = jnp.asarray(stride, jnp.int32)
 
     def cond(c):
         k, info, n_conv = c[2], c[3], c[4]
@@ -99,7 +100,12 @@ def _fused_lanczos_sweep(A, X, T, kstart, kend, nev, tol, btol):
         info = jnp.where(jnp.isnan(jnp.real(beta)), -(k + 1),
                          info).astype(jnp.int32)
         k_eff = jnp.where(info > 0, info, k + 1).astype(jnp.int32)
-        w, res, V, n_conv = _ritz_check_sym(T, k_eff, tol, nev)
+        do_check = (((k + 1 - kstart) % stride == 0) | (k + 1 >= kend)
+                    | (info != 0))
+        w, res, V, n_conv = jax.lax.cond(
+            do_check,
+            lambda a: _ritz_check_sym(a[0], a[1], tol, nev),
+            lambda a: a[2], (T, k_eff, (w, res, V, n_conv)))
         n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
         return X, T, k + 1, info, n_conv, w, res, V
 
@@ -201,8 +207,10 @@ def eighs(A, nev: int, x0=None, kdim: int | None = None,
     evecs_device = None  # device V when the fused path ran last
     for cycle in range(cycle0, opts.maxiter):
         if use_device:
+            dstride = check_every if (check_every or 0) >= 1 else 4
             X, T, k_dev, linfo_d, nconv_d, w_d, res_d, V_dev = \
-                _fused_lanczos_sweep(A, X, T, kstart, kdim, nev, tol, btol)
+                _fused_lanczos_sweep(A, X, T, kstart, kdim, nev, tol, btol,
+                                     stride=dstride)
             k_fin, linfo, n_conv, w_h, r_all = jax.device_get(
                 (k_dev, linfo_d, nconv_d, w_d, res_d))
             k_fin, linfo, n_conv = int(k_fin), int(linfo), int(n_conv)

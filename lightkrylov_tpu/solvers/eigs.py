@@ -130,7 +130,8 @@ def _device_projected(opts: EigsOptions, dt) -> bool:
 
 
 @partial(jax.jit, static_argnames=("transpose",))
-def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose):
+def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose,
+                 stride=1):
     """One Arnoldi sweep with per-STEP on-device Ritz convergence checks:
     ``arnoldi_step`` + :func:`hessenberg_ritz` inside a single jitted
     ``while_loop`` — the reference's step-by-step checking
@@ -149,6 +150,7 @@ def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose):
     kstart = jnp.asarray(kstart, jnp.int32)
     kend = jnp.asarray(kend, jnp.int32)
     nev = jnp.asarray(nev, jnp.int32)
+    stride = jnp.asarray(stride, jnp.int32)
 
     def cond(c):
         _X, _H, k, info, n_conv = c[0], c[1], c[2], c[3], c[4]
@@ -161,7 +163,15 @@ def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose):
         info = jnp.where(jnp.isnan(jnp.real(beta)), -(k + 1),
                          info).astype(jnp.int32)
         k_eff = jnp.where(info > 0, info, k + 1).astype(jnp.int32)
-        wr, wi, res, Vr, Vi, n_conv, ok = hessenberg_ritz(H, k_eff, tol)
+        # ritz only every `stride` steps (and always at the sweep end /
+        # on breakdown): the projected solve costs ~20 ms at kdim=40,
+        # which dominates when matvecs are cheap
+        do_check = (((k + 1 - kstart) % stride == 0) | (k + 1 >= kend)
+                    | (info != 0))
+        wr, wi, res, Vr, Vi, n_conv, ok = jax.lax.cond(
+            do_check,
+            lambda a: hessenberg_ritz(a[0], a[1], tol),
+            lambda a: a[2], (H, k_eff, (wr, wi, res, Vr, Vi, n_conv, ok)))
         # fatal NaN: n_conv is meaningless — zero it so the caller's
         # convergence logic can't act on it (cond exits via info != 0)
         n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
@@ -297,8 +307,15 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
         if use_device:
             # whole sweep + per-step Ritz checks in one jitted while_loop;
             # ONE batched fetch per restart cycle
+            # in-loop check cadence: the ritz solve costs ~20 ms at
+            # kdim=40 while a skipped check wastes at most stride-1 cheap
+            # matvecs — stride 4 cut the GL flagship 23 s -> 4.8 s with
+            # an unchanged matvec count (chip sweep, /tmp gl_stride).
+            # check_every >= 1 overrides.
+            dstride = check_every if check_every >= 1 else 4
             X, H, k_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, Vr, Vi, dok = \
-                _fused_sweep(A, X, H, kstart, kdim, nev, tol, btol, transpose)
+                _fused_sweep(A, X, H, kstart, kdim, nev, tol, btol,
+                             transpose, stride=dstride)
             # ONE batched fetch; kstart may be a device scalar left by the
             # on-device IRAM restart of the previous cycle
             (k_fin, ainfo, n_conv, wr_h, wi_h, r_all, dok_h,

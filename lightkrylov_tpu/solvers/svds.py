@@ -59,7 +59,7 @@ def _ritz_check_svd(B, k_eff, tol, nsv):
 
 
 @partial(jax.jit, static_argnames=())
-def _fused_bidiag_sweep(A, U, V, B, kstart, kend, nsv, tol, btol):
+def _fused_bidiag_sweep(A, U, V, B, kstart, kend, nsv, tol, btol, stride=1):
     """One Golub-Kahan sweep with per-STEP on-device SVD convergence
     checks in a single jitted ``while_loop`` (see
     :func:`~lightkrylov_tpu.solvers.eigs._fused_sweep`)."""
@@ -68,6 +68,7 @@ def _fused_bidiag_sweep(A, U, V, B, kstart, kend, nsv, tol, btol):
     kstart = jnp.asarray(kstart, jnp.int32)
     kend = jnp.asarray(kend, jnp.int32)
     nsv = jnp.asarray(nsv, jnp.int32)
+    stride = jnp.asarray(stride, jnp.int32)
 
     def cond(c):
         k, info, n_conv = c[3], c[4], c[5]
@@ -81,7 +82,12 @@ def _fused_bidiag_sweep(A, U, V, B, kstart, kend, nsv, tol, btol):
         nan = jnp.isnan(jnp.real(alpha)) | jnp.isnan(jnp.real(beta))
         info = jnp.where(nan, -(k + 1), info).astype(jnp.int32)
         k_eff = jnp.where(info > 0, info, k + 1).astype(jnp.int32)
-        s, res, um, vm, n_conv = _ritz_check_svd(B, k_eff, tol, nsv)
+        do_check = (((k + 1 - kstart) % stride == 0) | (k + 1 >= kend)
+                    | (info != 0))
+        s, res, um, vm, n_conv = jax.lax.cond(
+            do_check,
+            lambda a: _ritz_check_svd(a[0], a[1], tol, nsv),
+            lambda a: a[2], (B, k_eff, (s, res, um, vm, n_conv)))
         n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
         return U, V, B, k + 1, info, n_conv, s, res, um, vm
 
@@ -172,8 +178,10 @@ def svds(A, nsv: int, u0=None, v_template=None, kdim: int | None = None,
     svecs_device = None  # (um, vm) device pair when the fused path ran last
     for cycle in range(cycle0, opts.maxiter):
         if use_device:
+            dstride = check_every if (check_every or 0) >= 1 else 4
             U, V, B, k_dev, binfo_d, nconv_d, s_d, res_d, um_dev, vm_dev = \
-                _fused_bidiag_sweep(A, U, V, B, kstart, kdim, nsv, tol, btol)
+                _fused_bidiag_sweep(A, U, V, B, kstart, kdim, nsv, tol,
+                                    btol, stride=dstride)
             k_fin, binfo, n_conv, s_h, r_all = jax.device_get(
                 (k_dev, binfo_d, nconv_d, s_d, res_d))
             k_fin, binfo, n_conv = int(k_fin), int(binfo), int(n_conv)

@@ -299,3 +299,27 @@ def test_device_thick_restart_paths(rng):
         options=lk.SVDSOptions(projected="device", maxiter=120))
     assert smeta.converged and smeta.n_iter > 8
     assert np.max(np.abs(np.asarray(S) - sref[:3]) / sref[:3]) < 1e-9
+
+
+def test_fused_sweep_check_stride(rng):
+    """check_every > 1 in device mode strides the in-loop ritz checks
+    (skipping the projected solve between checks); converged results must
+    match the per-step cadence to solver tolerance."""
+    N = 128
+    op = TridiagToeplitz(N, 2.0, -1.0, 1.0, dtype=jnp.float64)
+    x0 = vectors.rand_like(jax.random.PRNGKey(1), jnp.zeros(N, jnp.float64))
+    outs = {}
+    for ce in (None, 3):
+        evals, evecs, res, info, meta = lk.eigs(
+            op, 4, x0=x0, kdim=24, tolerance=1e-9, check_every=ce,
+            options=lk.EigsOptions(projected="device", maxiter=100))
+        assert meta.converged
+        outs[ce] = np.sort_complex(np.asarray(evals))
+    assert np.max(np.abs(outs[None] - outs[3])) < 1e-7
+    # eighs stride
+    oph = TridiagToeplitz(N, 4.0, -1.0, -1.0, dtype=jnp.float64)
+    for ce in (None, 4):
+        evals, _, _, _, meta = lk.eighs(
+            oph, 4, x0=x0, kdim=24, tolerance=1e-9, check_every=ce,
+            options=lk.EigsOptions(projected="device", maxiter=100))
+        assert meta.converged
