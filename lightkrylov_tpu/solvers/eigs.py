@@ -19,8 +19,10 @@ TPU structure — two projected-eigensolve paths (``options.projected``):
   inverse-iteration Ritz analysis of ``utils/hessenberg.py`` per step.
   That is the reference's step-by-step convergence checking
   (IterativeSolvers.fypp:1057-1092) at zero host round-trips and with
-  early exit on the first converged step (minimal matvecs — dominant when
-  the operator is a time-stepper).
+  early exit at the first converged check (minimal matvecs — dominant
+  when the operator is a time-stepper).  Default in-loop cadence: every
+  4 steps (``check_every >= 1`` overrides) — the projected solve costs
+  ~20 ms at kdim=40, a skipped check at most stride-1 cheap matvecs.
 - ``"host"`` (default on CPU; complex dtypes always): the sweep between
   checks is one jitted ``while_loop`` (dynamic ``kstart``/``kend`` — a
   single compiled executable serves every restart cycle); the k x k
