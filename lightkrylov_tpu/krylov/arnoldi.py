@@ -144,6 +144,11 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
     a jitted ``lax.while_loop``, so a single compiled executable serves every
     Krylov-Schur restart cycle (``kstart - 1`` and ``kend`` must be multiples
     of ``p``).  Returns ``(X, H, info)``.
+
+    Note: the ``eigs`` driver is blksize-1 (matching the reference's eigs,
+    IterativeSolvers.fypp:1030) — this block variant is a building block
+    for user drivers and has no fused device sweep; compose it with the
+    host projected path.
     """
     kdim = H.shape[1]
     assert kdim % p == 0, "kdim must be a multiple of the block size"

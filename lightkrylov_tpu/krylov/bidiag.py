@@ -37,7 +37,6 @@ def initialize_bidiag(u0, v_template, kdim: int):
     return U, V, B
 
 
-@timed_fn("krylov.bidiagonalization", "BaseKrylov")
 def bidiag_step(A, U, V, B, k, tol: float = 0.0):
     """One Golub-Kahan step (0-based ``k``): ``v_k = A^H u_k`` then
     ``u_{k+1} = A v_k``, both fully re-orthogonalized
@@ -73,6 +72,7 @@ def bidiag_step(A, U, V, B, k, tol: float = 0.0):
     return U, V, B, alpha, beta
 
 
+@timed_fn("krylov.bidiagonalization", "BaseKrylov")
 def bidiagonalization(A, U, V, B, kstart=1, kend=None, tol: float | None = None):
     """Grow the factorization ``A V_k = U_{k+1} B_k`` from ``kstart`` to
     ``kend`` (1-based inclusive) -> ``(U, V, B, info)``

@@ -31,9 +31,10 @@ import numpy as np
 
 from .. import vectors
 from ..utils import linalg
-from ..utils.hessenberg import francis_filter
+from ..utils.hessenberg import francis_filter, ordschur_device, schur_real
 
-__all__ = ["iram_restart", "krylov_schur", "median_selector"]
+__all__ = ["iram_restart", "krylov_schur", "krylov_schur_device",
+           "median_selector"]
 
 
 def median_selector(eigvals):
@@ -113,6 +114,73 @@ def iram_restart(X, H, n_target):
     H_new = H_new.at[:kdim, :kdim].set(jnp.where(mask, Hf, 0.0))
     H_new = H_new.at[n, nm1].set(bn.astype(Hf.dtype))
     return X_new, H_new, n, ok
+
+
+@jax.jit
+def krylov_schur_device(X, H, sel_wr, sel_wi, sel_mask):
+    """Fully on-device Krylov-Schur restart for an ARBITRARY selection —
+    the device-mode counterpart of :func:`krylov_schur` (reference:
+    BaseKrylov.fypp:714-837) for real dtypes, with the host LAPACK
+    ``schur``/``ordschur`` step replaced by the jitted
+    :func:`~lightkrylov_tpu.utils.hessenberg.schur_real` +
+    :func:`~lightkrylov_tpu.utils.hessenberg.ordschur_device`.  Unlike
+    :func:`iram_restart` this handles ANY selector and ANY input form
+    (Hessenberg or the post-restart arrow form — the internal Householder
+    reduction covers both).
+
+    The selector itself is host code (a global function of the spectrum,
+    IterativeSolvers.fypp:1137-1142), so selection arrives by VALUE:
+    ``sel_wr``/``sel_wi`` are eigenvalues in any order (typically the
+    modulus-descending list the eigs driver already fetched for its
+    convergence check) with ``sel_mask`` the selector's boolean verdict
+    for each; every diagonal block of the device Schur form takes the flag
+    of its nearest-by-value entry.  The only host->device traffic is the
+    kdim-bool mask.
+
+    Returns ``(X', H', n, ok)`` with the same static buffer shapes —
+    ``H'`` the reordered quasi-triangular leading block plus the coupling
+    row ``b = beta * Z[kdim-1, :n]`` at row ``n`` (arrow form), columns
+    ``> n`` zeroed, residual vector moved to column ``n``; ``n`` is a
+    device scalar usable directly as ``kstart = n + 1``.  ``ok`` False
+    means a Schur-form block swap was rejected (near-coincident
+    eigenvalues across the selection boundary) — the output is still an
+    exact factorization, but compressed onto a partially reordered (hence
+    possibly unintended) subspace; callers should then route the NEXT
+    restart to the host path.
+    """
+    kdim = H.shape[1]
+    Hk = H[:kdim, :kdim]
+    T, Zs, wr, wi, ok1 = schur_real(Hk)
+    # nearest-by-value mask transfer onto the Schur diagonal positions
+    d = ((wr[:, None] - sel_wr[None, :]) ** 2
+         + (wi[:, None] - sel_wi[None, :]) ** 2)
+    sel = jnp.asarray(sel_mask, bool)[jnp.argmin(d, axis=1)]
+    T, Zs, sel, ok2 = ordschur_device(T, Zs, sel)
+    # clamp the keep count to [1, kdim-1] without splitting a 2x2 block
+    n = jnp.sum(sel).astype(jnp.int32)
+    n = jnp.where(n < 1,
+                  jnp.where(T[1, 0] != 0, 2, 1).astype(jnp.int32), n)
+    n = jnp.where(n > kdim - 1,
+                  jnp.where(T[kdim - 1, kdim - 2] != 0,
+                            kdim - 2, kdim - 1).astype(jnp.int32), n)
+
+    idx = jnp.arange(kdim)
+    beta = H[kdim, kdim - 1]
+    mask2 = (idx[:, None] < n) & (idx[None, :] < n)
+    H_new = jnp.zeros_like(H)
+    H_new = H_new.at[:kdim, :kdim].set(jnp.where(mask2, T, 0.0))
+    spike = jnp.where(idx < n, beta * Zs[kdim - 1, :], 0.0)
+    H_new = H_new.at[n, :].set(spike)
+
+    Zc = jnp.where(idx[None, :] < n, Zs, 0.0)
+    X_lead = jax.tree.map(lambda l: l[:kdim], X)
+    Xc = vectors.linear_combination(X_lead, Zc)
+    x_res = vectors.get_column(X, kdim)
+    X_new = jax.tree.map(
+        lambda c, full: jnp.concatenate([c, jnp.zeros_like(full[:1])],
+                                        axis=0), Xc, X)
+    X_new = vectors.set_column(X_new, n, x_res)
+    return X_new, H_new, n, ok1 & ok2
 
 
 def krylov_schur(X, H, select=None):

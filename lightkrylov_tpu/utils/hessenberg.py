@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["francis_filter", "hessenberg_eigvals", "hessenberg_eigvecs",
-           "hessenberg_ritz"]
+           "hessenberg_ritz", "ordschur_device", "schur_real"]
 
 
 def _full_precision(fn):
@@ -223,15 +223,20 @@ def _to_hessenberg(H, Z=None):
     return (H, Z) if with_z else H
 
 
-def _schur_core(H):
+def _schur_core(H, Z=None):
     """Iterate Francis sweeps to quasi-triangular form.  Returns
-    ``(H, accepted, ok)`` — ``accepted[i]`` marks a terminal 2x2 diagonal
+    ``(H, Z, accepted, ok)`` — ``accepted[i]`` marks a terminal 2x2 diagonal
     block coupling rows ``(i, i+1)``; ``ok`` is False only if the sweep
-    budget (30 n, LAPACK's) ran out."""
+    budget (30 n, LAPACK's) ran out.  ``Z`` (optional ``m x n``) accumulates
+    the right transform across every chase (``H_out = Q^T H_in Q``,
+    ``Z <- Z Q``) — needed by the on-device Schur/ordschur path; passing
+    ``None`` threads a static-empty matrix whose updates are no-ops."""
     n = H.shape[0]
     dt = H.dtype
+    if Z is None:
+        Z = jnp.zeros((0, n), dt)
     if n < 2:  # already triangular
-        return H, jnp.zeros((0,), bool), jnp.asarray(True)
+        return H, Z, jnp.zeros((0,), bool), jnp.asarray(True)
     eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
     ii = jnp.arange(n - 1, dtype=jnp.int32)
     max_sweeps = 30 * n
@@ -250,11 +255,11 @@ def _schur_core(H):
         return (H[ii + 1, ii] != 0) & ~accepted
 
     def cond(carry):
-        H, accepted, last_hi, stall, sweeps = carry
+        H, Z, accepted, last_hi, stall, sweeps = carry
         return jnp.any(open_mask(H, accepted)) & (sweeps < max_sweeps)
 
     def body(carry):
-        H, accepted, last_hi, stall, sweeps = carry
+        H, Z, accepted, last_hi, stall, sweeps = carry
         H = deflate(H)
         op = open_mask(H, accepted)
         any_open = jnp.any(op)
@@ -266,12 +271,12 @@ def _schur_core(H):
         lo = jnp.max(jnp.where(zero_below, ii + 1, 0))
         stall = jnp.where(hi == last_hi, stall + 1, 0)
 
-        def accept(H_acc):
-            H, accepted = H_acc
-            return H, accepted.at[jnp.maximum(hi_c, 0)].set(True)
+        def accept(HZa):
+            H, Z, accepted = HZa
+            return H, Z, accepted.at[jnp.maximum(hi_c, 0)].set(True)
 
-        def sweep(H_acc):
-            H, accepted = H_acc
+        def sweep(HZa):
+            H, Z, accepted = HZa
             # trailing 2x2 Wilkinson double shift; exceptional every 10
             # stalled sweeps (LAPACK dlahqr-style backstop)
             a11 = H[hi - 1, hi - 1]
@@ -285,21 +290,22 @@ def _schur_core(H):
             wexc = a22 + 0.75 * sexc
             s = jnp.where(exc, 2.0 * wexc, s)
             t = jnp.where(exc, wexc * wexc, t)
-            return _chase(H, lo, hi, s, t), accepted
+            H, Z = _chase(H, lo, hi, s, t, Z=Z)
+            return H, Z, accepted
 
-        H, accepted = jax.lax.cond(
+        H, Z, accepted = jax.lax.cond(
             any_open & (hi - lo >= 2), sweep,
-            lambda H_acc: jax.lax.cond(any_open, accept,
-                                       lambda ha: ha, H_acc),
-            (H, accepted))
-        return H, accepted, hi, stall, sweeps + 1
+            lambda HZa: jax.lax.cond(any_open, accept,
+                                     lambda hza: hza, HZa),
+            (H, Z, accepted))
+        return H, Z, accepted, hi, stall, sweeps + 1
 
     accepted0 = jnp.zeros(max(n - 1, 1), bool)[: n - 1]
-    H, accepted, _, _, sweeps = jax.lax.while_loop(
+    H, Z, accepted, _, _, sweeps = jax.lax.while_loop(
         cond, body,
-        (H, accepted0, jnp.int32(-1), jnp.int32(0), jnp.int32(0)))
+        (H, Z, accepted0, jnp.int32(-1), jnp.int32(0), jnp.int32(0)))
     ok = ~jnp.any(open_mask(H, accepted))
-    return H, accepted, ok
+    return H, Z, accepted, ok
 
 
 def _extract_eigvals(H, accepted):
@@ -348,11 +354,247 @@ def hessenberg_eigvals(H, k_eff=None):
     k_eff = jnp.asarray(n if k_eff is None else k_eff, jnp.int32)
     Hm, active = _embed(H, k_eff)
     Hm = _to_hessenberg(Hm)
-    T, accepted, ok = _schur_core(Hm)
+    T, _, accepted, ok = _schur_core(Hm)
     wr, wi = _extract_eigvals(T, accepted)
     wr = jnp.where(active, wr, 0.0)
     wi = jnp.where(active, wi, 0.0)
     return wr, wi, ok
+
+
+def _split_real_blocks(T, Z, accepted):
+    """Split accepted 2x2 diagonal blocks whose eigenvalues are REAL into
+    two 1x1 blocks by a Givens similarity (the standardization role of
+    LAPACK ``dlanv2`` inside dhseqr): after this pass every remaining 2x2
+    block is a genuine complex-conjugate pair.  Required by the ordschur
+    path — a selector must be able to separate two real eigenvalues that
+    the QR iteration happened to leave sharing a block.
+
+    The rotation's first column is the (normalized) eigenvector of the
+    larger-modulus real eigenvalue ``lam``: ``G^T A G e1 = lam e1`` makes
+    the block upper triangular with ``lam`` leading."""
+    n = T.shape[0]
+    if n < 2:
+        return T, Z, accepted
+    dt = T.dtype
+    z0 = jnp.int32(0)
+
+    def step(i, TZa):
+        i = jnp.asarray(i, jnp.int32)
+        T, Z, acc = TZa
+        a, b = T[i, i], T[i, i + 1]
+        c, d = T[i + 1, i], T[i + 1, i + 1]
+        m = 0.5 * (a + d)
+        disc = 0.25 * (a - d) ** 2 + b * c
+        do = acc[i] & (disc >= 0)
+        sq = jnp.sqrt(jnp.abs(disc))
+        lam = m + jnp.where(m >= 0, sq, -sq)
+        # eigenvector of the 2x2 block for lam: both analytic forms are
+        # exact null vectors of (A - lam I); take the larger for stability
+        # (at least one is nonzero whenever the block is non-scalar)
+        v1 = jnp.stack([b, lam - a])
+        v2 = jnp.stack([lam - d, c])
+        v = jnp.where(jnp.sum(v1 * v1) >= jnp.sum(v2 * v2), v1, v2)
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        safe = nrm > 0
+        v = jnp.where(safe, v / jnp.where(safe, nrm, 1.0),
+                      jnp.asarray([1.0, 0.0], dt))
+        G = jnp.stack([v, jnp.stack([-v[1], v[0]])], axis=1)
+        G = jnp.where(do, G, jnp.eye(2, dtype=dt))
+        rows = jax.lax.dynamic_slice(T, (i, z0), (2, n))
+        T = jax.lax.dynamic_update_slice(T, G.T @ rows, (i, z0))
+        cols = jax.lax.dynamic_slice(T, (z0, i), (n, 2))
+        T = jax.lax.dynamic_update_slice(T, cols @ G, (z0, i))
+        zc = jax.lax.dynamic_slice(Z, (z0, i), (Z.shape[0], 2))
+        Z = jax.lax.dynamic_update_slice(Z, zc @ G, (z0, i))
+        T = T.at[i + 1, i].set(jnp.where(do, 0.0, T[i + 1, i]))
+        acc = acc.at[i].set(jnp.where(do, False, acc[i]))
+        return T, Z, acc
+
+    return jax.lax.fori_loop(0, n - 1, step, (T, Z, accepted))
+
+
+@partial(jax.jit, static_argnames=())
+@_full_precision
+def schur_real(H, k_eff=None):
+    """Real Schur decomposition ``H = Z T Z^T`` fully on device: Householder
+    Hessenberg reduction + Francis QR with accumulated transforms + real-pair
+    block standardization.  Device-mode counterpart of the host LAPACK
+    ``schur`` used by the Krylov-Schur restart (reference: stdlib ``schur``,
+    BaseKrylov.fypp:807).
+
+    Returns ``(T, Z, wr, wi, ok)``: ``T`` quasi-triangular (every 2x2 block
+    a complex-conjugate pair), ``Z`` orthogonal, ``(wr, wi)`` the
+    eigenvalues aligned with ``T``'s diagonal positions, ``ok`` the sweep
+    convergence flag.  With ``k_eff``, the active block is embedded as in
+    :func:`hessenberg_eigvals` (``Z`` is then identity on the inactive
+    part and the factorization holds for the embedded matrix).
+    """
+    H = jnp.asarray(H)
+    if jnp.issubdtype(H.dtype, jnp.complexfloating):
+        raise TypeError("schur_real is real-only; complex projected "
+                        "problems take the host LAPACK path")
+    n = H.shape[0]
+    k_eff = jnp.asarray(n if k_eff is None else k_eff, jnp.int32)
+    Hm, active = _embed(H, k_eff)
+    Z0 = jnp.eye(n, dtype=H.dtype)
+    Hh, Z = _to_hessenberg(Hm, Z0)
+    T, Z, accepted, ok = _schur_core(Hh, Z)
+    T, Z, accepted = _split_real_blocks(T, Z, accepted)
+    wr, wi = _extract_eigvals(T, accepted)
+    wr = jnp.where(active, wr, 0.0)
+    wi = jnp.where(active, wi, 0.0)
+    return T, Z, wr, wi, ok
+
+
+def _swap_q_factory(n1, n2, dt):
+    """Direct-swap orthogonal transform for adjacent diagonal blocks of
+    static sizes ``(n1, n2)`` (Bai & Demmel's method, LAPACK ``dlaexc``):
+    solve the tiny Sylvester equation ``A11 X - X A22 = -A12``, then QR
+    ``[X; I]`` to get the orthogonal ``Q`` whose leading ``n2`` columns
+    span the A22-invariant subspace — ``Q^T W Q`` has the A22 block
+    leading.  Returns a 4x4 matrix (identity beyond ``n1+n2``) so callers
+    can apply one fixed-shape window update regardless of block sizes."""
+    m = n1 + n2
+    eps = np.finfo(np.dtype(dt)).eps
+
+    def f(W):
+        A11 = W[:n1, :n1]
+        A12 = W[:n1, n1:m]
+        A22 = W[n1:m, n1:m]
+        K = (jnp.kron(jnp.eye(n2, dtype=dt), A11)
+             - jnp.kron(A22.T, jnp.eye(n1, dtype=dt)))
+        rhs = -A12.T.reshape(-1)  # column-major vec
+        # K is singular iff the blocks share an eigenvalue — the swap is
+        # then ill-defined; the tiny ridge keeps the solve finite and the
+        # caller's residual test rejects the resulting bad swap.
+        reg = eps * (jnp.max(jnp.abs(K)) + 1.0)
+        x = jnp.linalg.solve(K + reg * jnp.eye(n1 * n2, dtype=dt), rhs)
+        X = x.reshape(n2, n1).T
+        M = jnp.concatenate([X, jnp.eye(n2, dtype=dt)], axis=0)
+        Q, _ = jnp.linalg.qr(M, mode="complete")
+        Qf = jnp.eye(4, dtype=dt)
+        return Qf.at[:m, :m].set(Q)
+
+    return f
+
+
+def _ordschur_core(T, Z, sel, rej_factor=50.0):
+    """Reorder a real Schur form so the ``sel``-flagged diagonal positions
+    occupy the leading block — LAPACK TRSEN/dtrexc's method (bubble the
+    selected blocks upward by adjacent orthogonal block swaps) as one
+    jitted fixed-shape while_loop.
+
+    ``sel`` must be pair-consistent (both positions of a 2x2 block equal);
+    2x2 blocks must be complex-conjugate pairs (``_split_real_blocks``).
+    A swap whose annihilated coupling exceeds ``rej_factor * eps * ||T||``
+    is rejected and the loop stops (``ok = False``); everything applied up
+    to that point is still an exact orthogonal similarity, so the output
+    remains a valid (partially reordered) Schur factorization.
+    """
+    n = T.shape[0]
+    dt = T.dtype
+    eps = np.finfo(np.dtype(dt)).eps
+    z0 = jnp.int32(0)
+    P = n + 3  # pad so every 4x4 window slice stays in range
+    Tp = jnp.zeros((P, P), dt).at[:n, :n].set(T)
+    Zp = jnp.zeros((Z.shape[0], P), dt).at[:, :n].set(Z)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    fns = [_swap_q_factory(a, b, dt)
+           for a in (1, 2) for b in (1, 2)]  # index (n1-1)*2 + (n2-1)
+    max_swaps = n * n + 4
+
+    def find(Tp, sel):
+        # first block start whose block is unselected with a selected
+        # block directly below it (the bubble-sort move); n = none
+        sub = Tp[idx + 1, idx]
+        prev = jnp.concatenate([jnp.zeros(1, dt), sub[:-1]])
+        start = (idx == 0) | (prev == 0)
+        nxt = idx + 1 + (sub != 0)
+        cand = (start & (nxt < n) & ~sel
+                & sel[jnp.clip(nxt, 0, n - 1)])
+        return jnp.min(jnp.where(cand, idx, jnp.int32(n)))
+
+    def cond(c):
+        Tp, Zp, sel, failed, cnt = c
+        return (find(Tp, sel) < n) & ~failed & (cnt < max_swaps)
+
+    def body(c):
+        Tp, Zp, sel, failed, cnt = c
+        i = jnp.clip(find(Tp, sel), 0, n - 1)
+        n1 = 1 + (Tp[i + 1, i] != 0).astype(jnp.int32)
+        j = jnp.clip(i + n1, 0, n - 1)
+        n2 = 1 + (Tp[j + 1, j] != 0).astype(jnp.int32)
+        m = n1 + n2
+        W = jax.lax.dynamic_slice(Tp, (i, i), (4, 4))
+        Q = jax.lax.switch((n1 - 1) * 2 + (n2 - 1), fns, W)
+        # pre-apply on the window alone to test the swap before committing
+        Wt = Q.T @ W @ Q
+        r4 = jnp.arange(4)
+        lowleft = ((r4[:, None] >= n2) & (r4[:, None] < m)
+                   & (r4[None, :] < n2))
+        resid = jnp.max(jnp.where(lowleft, jnp.abs(Wt), 0.0))
+        bad = resid > rej_factor * eps * (jnp.max(jnp.abs(Tp)) + 1.0)
+
+        def apply(args):
+            Tp, Zp, sel = args
+            rows = jax.lax.dynamic_slice(Tp, (i, z0), (4, P))
+            Tp = jax.lax.dynamic_update_slice(Tp, Q.T @ rows, (i, z0))
+            cols = jax.lax.dynamic_slice(Tp, (z0, i), (P, 4))
+            Tp = jax.lax.dynamic_update_slice(Tp, cols @ Q, (z0, i))
+            zc = jax.lax.dynamic_slice(Zp, (z0, i), (Zp.shape[0], 4))
+            Zp = jax.lax.dynamic_update_slice(Zp, zc @ Q, (z0, i))
+            # exact zeros below the new block diagonal inside the window
+            # (keep only the 2x2-internal couplings of the new layout:
+            # block of size n2 leads, block of size n1 follows)
+            for r in range(1, 4):
+                for cc in range(r):
+                    keep = (((n2 == 2) & (r == 1) & (cc == 0))
+                            | ((n1 == 2) & (r == n2 + 1) & (cc == n2)))
+                    zero_it = (r < m) & ~keep
+                    Tp = Tp.at[i + r, i + cc].set(
+                        jnp.where(zero_it, 0.0, Tp[i + r, i + cc]))
+            # the selected block now leads the window; flags move with it
+            selP = jnp.where((idx >= i) & (idx < i + m), idx < i + n2, sel)
+            return Tp, Zp, selP
+
+        Tp, Zp, sel = jax.lax.cond(~bad, apply, lambda a: a, (Tp, Zp, sel))
+        return Tp, Zp, sel, failed | bad, cnt + 1
+
+    Tp, Zp, sel, failed, cnt = jax.lax.while_loop(
+        cond, body, (Tp, Zp, sel, jnp.asarray(False), jnp.int32(0)))
+    done = find(Tp, sel) >= n
+    return Tp[:n, :n], Zp[:, :n], sel, done & ~failed
+
+
+@partial(jax.jit, static_argnames=())
+@_full_precision
+def ordschur_device(T, Z, select_mask):
+    """Device-mode ordschur — reorder the real Schur factorization
+    ``(T, Z)`` so the eigenvalues at the ``select_mask``-flagged diagonal
+    positions occupy the leading block (reference: ``ordschur``/TRSEN,
+    Utils.fypp:37-60, used by ``krylov_schur``, BaseKrylov.fypp:813).
+
+    ``select_mask`` is per diagonal position of ``T``; it is made
+    pair-consistent here (a flag on either position of a 2x2 block selects
+    the whole block, matching LAPACK's behavior).  Returns
+    ``(T', Z', sel', ok)`` where ``sel'`` is the reordered mask (leading
+    ``sum(sel')`` positions True on success) and ``ok`` is False if a
+    block swap was rejected (near-coincident eigenvalues across the swap —
+    the output is then a valid but only partially reordered form).
+    """
+    T = jnp.asarray(T)
+    Z = jnp.asarray(Z)
+    n = T.shape[0]
+    sel = jnp.asarray(select_mask, bool)
+    if n < 2:
+        return T, Z, sel, jnp.asarray(True)
+    sub = T[jnp.arange(n - 1) + 1, jnp.arange(n - 1)]
+    coupled = sub != 0
+    pad = jnp.zeros(1, bool)
+    up = jnp.concatenate([coupled & sel[1:], pad])
+    down = jnp.concatenate([pad, coupled & sel[:-1]])
+    sel = sel | up | down
+    return _ordschur_core(T, Z, sel)
 
 
 @partial(jax.jit, static_argnames=())
@@ -391,8 +633,19 @@ def francis_filter(H_sq, n_target):
     hess_in = jnp.all(jnp.abs(jnp.tril(H_sq, -2)) == 0)
     wr, wi, ok = hessenberg_eigvals(H_sq)
     mod = wr * wr + wi * wi
-    # descending modulus; ties broken so conjugate pairs sit adjacent
-    order = jnp.lexsort((wi, wr, -mod))
+    # Descending modulus with ties broken by the PAIR's base index: both
+    # members of a conjugate pair share every sort key (mod is bitwise
+    # identical for +/-wi; pairbase too — _extract_eigvals emits +wi at
+    # the pair start and -wi immediately below it), so the stable lexsort
+    # keeps each pair adjacent even when two distinct pairs coincide in
+    # (modulus, wr) to working precision.  Value-only keys (the r4 code)
+    # interleaved such duplicates as (-s, -s, +s, +s), pairing two
+    # non-conjugate eigenvalues into an inexact double shift whose pair
+    # then failed to deflate (ADVICE r4).  The -wi key orders +wi first
+    # within each pair.
+    idx_k = jnp.arange(kdim, dtype=jnp.int32)
+    pairbase = idx_k - (wi < 0)
+    order = jnp.lexsort((-wi, pairbase, -mod))
 
     def straddles(n):
         # does the kept/unwanted boundary split a conjugate pair?

@@ -314,8 +314,11 @@ def test_fused_sweep_check_stride(rng):
             op, 4, x0=x0, kdim=24, tolerance=1e-9, check_every=ce,
             options=lk.EigsOptions(projected="device", maxiter=100))
         assert meta.converged
-        outs[ce] = np.sort_complex(np.asarray(evals))
-    assert np.max(np.abs(outs[None] - outs[3])) < 1e-7
+        outs[ce] = np.asarray(evals)
+    # same eigenvalue SETS (sort order of near-degenerate conjugate pairs
+    # is jitter at the real-part noise level)
+    for lam in outs[3]:
+        assert np.min(np.abs(outs[None] - lam)) < 1e-7
     # eighs stride
     oph = TridiagToeplitz(N, 4.0, -1.0, -1.0, dtype=jnp.float64)
     for ce in (None, 4):
@@ -323,3 +326,275 @@ def test_fused_sweep_check_stride(rng):
             oph, 4, x0=x0, kdim=24, tolerance=1e-9, check_every=ce,
             options=lk.EigsOptions(projected="device", maxiter=100))
         assert meta.converged
+
+
+# ---------------------------------------------------------------------------
+# Round 5: device Schur + ordschur (VERDICT r4 item 2), IRAM failure
+# surfacing (item 3), adaptive cadence (item 7), final f64 recheck (item 1)
+# ---------------------------------------------------------------------------
+
+from lightkrylov_tpu.utils.hessenberg import ordschur_device, schur_real
+
+
+@pytest.mark.parametrize("n", [2, 5, 12, 24, 40])
+def test_schur_real_factorization(n, rng):
+    """Device real Schur: H = Z T Z^T with Z orthogonal, T quasi-triangular
+    whose every 2x2 block is a complex-conjugate pair (real-pair blocks
+    standardized away), eigenvalues matching LAPACK."""
+    A = rng.standard_normal((n, n))
+    T, Z, wr, wi, ok = schur_real(jnp.asarray(A))
+    T, Z = np.asarray(T), np.asarray(Z)
+    assert bool(ok)
+    assert np.linalg.norm(Z @ T @ Z.T - A) < 1e-12 * max(1, np.linalg.norm(A))
+    assert np.linalg.norm(Z.T @ Z - np.eye(n)) < 1e-12
+    assert np.all(np.abs(np.tril(T, -2)) == 0)
+    sub = np.diag(T, -1)
+    for i in range(n - 1):
+        if sub[i] != 0:
+            blk = T[i:i + 2, i:i + 2]
+            disc = ((blk[0, 0] - blk[1, 1]) / 2) ** 2 + blk[0, 1] * blk[1, 0]
+            assert disc < 0  # genuine conjugate pair
+    w = np.sort_complex(np.asarray(wr) + 1j * np.asarray(wi))
+    w_ref = np.sort_complex(np.linalg.eigvals(A))
+    assert np.max(np.abs(w - w_ref)) < 1e-10 * max(1.0, np.abs(w_ref).max())
+
+
+def test_ordschur_device_selected_leading(rng):
+    """Device ordschur: the selected eigenvalues end up in the leading
+    block (LAPACK TRSEN semantics, Utils.fypp:37-60), the factorization
+    stays exact, and pair-consistency is enforced."""
+    for n in (6, 13, 24):
+        A = rng.standard_normal((n, n))
+        T, Z, wr, wi, ok = schur_real(jnp.asarray(A))
+        wall = np.asarray(wr) + 1j * np.asarray(wi)
+        for _ in range(3):
+            mask = rng.random(n) < 0.4
+            T2, Z2, sel2, ok2 = ordschur_device(T, Z, jnp.asarray(mask))
+            T2, Z2, sel2 = np.asarray(T2), np.asarray(Z2), np.asarray(sel2)
+            assert bool(ok2)
+            ns = int(sel2.sum())
+            assert np.all(sel2[:ns]) and not np.any(sel2[ns:])
+            assert np.linalg.norm(Z2 @ T2 @ Z2.T - A) < 1e-12 * np.linalg.norm(A)
+            assert np.linalg.norm(Z2.T @ Z2 - np.eye(n)) < 1e-12
+            # pair-consistent host mirror of the selection
+            m = mask.copy()
+            sub = np.diag(np.asarray(T), -1)
+            for i in range(n - 1):
+                if sub[i] != 0 and (m[i] or m[i + 1]):
+                    m[i] = m[i + 1] = True
+            wlead = np.sort_complex(np.linalg.eigvals(T2[:ns, :ns]))
+            wsel = np.sort_complex(wall[m])
+            assert ns == int(m.sum())
+            if ns:
+                assert np.max(np.abs(wlead - wsel)) < 1e-9
+
+
+@pytest.mark.parametrize("arrow", [False, True])
+def test_krylov_schur_device_matches_host(arrow, rng):
+    """Device Krylov-Schur restart (schur_real + ordschur_device) keeps the
+    factorization identity/orthonormality exact and the kept Ritz values
+    equal to the host LAPACK path's, on both Hessenberg and arrow input
+    (BaseKrylov.fypp:714-837)."""
+    from lightkrylov_tpu.krylov.arnoldi import arnoldi, initialize_arnoldi
+    from lightkrylov_tpu.krylov.krylov_schur import (krylov_schur,
+                                                     krylov_schur_device)
+
+    N, kdim = 64, 16
+    Am = rng.standard_normal((N, N))
+    op = lk.DenseOperator(jnp.asarray(Am))
+    x0 = jnp.asarray(rng.standard_normal(N))
+    X, H = initialize_arnoldi(x0, kdim)
+    X, H, _ = arnoldi(op, X, H, kstart=1, kend=kdim)
+    if arrow:
+        X, H, m = krylov_schur(X, H)
+        X, H, _ = arnoldi(op, X, H, kstart=m + 1, kend=kdim)
+        assert np.any(np.tril(np.asarray(H)[:kdim, :kdim], -2) != 0)
+    Hh = np.asarray(H)
+    w = np.linalg.eigvals(Hh[:kdim, :kdim])
+    wsorted = w[np.argsort(-np.abs(w))]
+    select = lambda ws: ws.real > np.median(ws.real)  # noqa: E731
+    mask = select(wsorted)
+    Xn, Hn, n, ok = krylov_schur_device(
+        X, H, jnp.asarray(wsorted.real), jnp.asarray(wsorted.imag),
+        jnp.asarray(mask))
+    n = int(n)
+    assert bool(ok)
+    Xh, Hnh = np.asarray(Xn), np.asarray(Hn)
+    r = np.linalg.norm(Am @ Xh[:n].T - Xh[:n + 1].T @ Hnh[:n + 1, :n])
+    assert r < 1e-11 * np.abs(Hh).max()
+    G = Xh[:n + 1] @ Xh[:n + 1].T
+    assert np.linalg.norm(G - np.eye(n + 1)) < 1e-11
+    assert np.all(Xh[n + 1:] == 0) and np.all(Hnh[:, n:] == 0)
+    # kept Ritz values match the host path's selection
+    X2, H2, n2 = krylov_schur(X, H, select=select)
+    assert n2 == n
+    wk_dev = np.sort_complex(np.linalg.eigvals(Hnh[:n, :n]))
+    wk_host = np.sort_complex(np.linalg.eigvals(np.asarray(H2)[:n2, :n2]))
+    assert np.max(np.abs(wk_dev - wk_host)) < 1e-10
+
+
+def test_eigs_custom_selector_device_no_host_lapack(rng, monkeypatch):
+    """eigs with a custom selector in device mode restarts through the
+    device Schur path — host LAPACK is never touched (VERDICT r4 item 2) —
+    and matches the host path's eigenvalues."""
+    from lightkrylov_tpu.models import TridiagToeplitz, toeplitz_eigvals
+    from lightkrylov_tpu.utils import linalg as _linalg
+
+    N = 128
+    op = TridiagToeplitz(N, 2.0, -1.0, 1.0, dtype=jnp.float64)
+    exact = toeplitz_eigvals(N, 2.0, -1.0, 1.0)
+    x0 = vectors.rand_like(jax.random.PRNGKey(1), jnp.zeros(N, jnp.float64))
+
+    def sel(w):
+        m = np.abs(w)
+        return m > np.median(m)
+
+    def boom(*a, **k):
+        raise AssertionError("host schur_select reached from device path")
+
+    results = {}
+    for mode in ("host", "device"):
+        if mode == "device":
+            monkeypatch.setattr(_linalg, "schur_select", boom)
+        evals, evecs, res, info, meta = lk.eigs(
+            op, 6, x0=x0, kdim=16, tolerance=1e-9, select=sel,
+            options=lk.EigsOptions(projected=mode, maxiter=100))
+        monkeypatch.undo()
+        assert meta.converged
+        for lam in np.asarray(evals):
+            assert np.min(np.abs(exact - lam)) < 1e-7
+        results[mode] = np.asarray(evals)
+    # same eigenvalue SETS (sort order on conjugate pairs is jitter at
+    # the real-part noise level)
+    for lam in results["device"]:
+        assert np.min(np.abs(results["host"] - lam)) < 1e-7
+
+
+def test_eigs_device_resume_arrow_checkpoint(tmp_path, rng, monkeypatch):
+    """Resume from a checkpoint holding the ARROW form: the device driver
+    detects it (h_is_hessenberg False) and restarts through the device
+    Schur path — no host LAPACK (VERDICT r4 item 2 'resume-from-arrow
+    stays on device')."""
+    from lightkrylov_tpu.models import TridiagToeplitz, toeplitz_eigvals
+    from lightkrylov_tpu.utils import linalg as _linalg
+
+    N = 128
+    op = TridiagToeplitz(N, 2.0, -1.0, 1.0, dtype=jnp.float64)
+    exact = toeplitz_eigvals(N, 2.0, -1.0, 1.0)
+    x0 = vectors.rand_like(jax.random.PRNGKey(3), jnp.zeros(N, jnp.float64))
+    ck = str(tmp_path / "eigs_arrow.npz")
+
+    def sel(w):
+        m = np.abs(w)
+        return m > np.median(m)
+
+    # host run with a custom selector: every checkpointed restart leaves
+    # the arrow form; stop early by maxiter
+    lk.eigs(op, 6, x0=x0, kdim=16, tolerance=1e-12, select=sel,
+            options=lk.EigsOptions(projected="host", maxiter=3,
+                                   checkpoint_every=1, checkpoint_path=ck))
+    # arrow form actually captured
+    st = np.load(ck)
+    hkey = [k for k in st.files if "'H'" in k][0]
+    assert np.any(np.tril(st[hkey][:16, :16], -2) != 0)
+
+    def boom(*a, **k):
+        raise AssertionError("host schur_select reached on device resume")
+
+    monkeypatch.setattr(_linalg, "schur_select", boom)
+    evals, evecs, res, info, meta = lk.eigs(
+        op, 6, x0=x0, kdim=16, tolerance=1e-9, select=sel,
+        options=lk.EigsOptions(projected="device", maxiter=100),
+        resume_from=ck)
+    assert meta.converged
+    for lam in np.asarray(evals):
+        assert np.min(np.abs(exact - lam)) < 1e-7
+
+
+def test_iram_failure_reroutes_to_schur_restart(rng, monkeypatch):
+    """Two consecutive truncation-only IRAM restarts (ok=False) reroute the
+    device driver to the Schur-reorder restart path, with a warning per
+    failure (VERDICT r4 item 3 / ADVICE r4: the flag was silently
+    discarded)."""
+    import importlib
+
+    eigs_mod = importlib.import_module("lightkrylov_tpu.solvers.eigs")
+    from lightkrylov_tpu.models import TridiagToeplitz, toeplitz_eigvals
+
+    N = 128
+    op = TridiagToeplitz(N, 2.0, -1.0, 1.0, dtype=jnp.float64)
+    exact = toeplitz_eigvals(N, 2.0, -1.0, 1.0)
+    x0 = vectors.rand_like(jax.random.PRNGKey(5), jnp.zeros(N, jnp.float64))
+
+    orig = eigs_mod.iram_restart
+    calls = {"n": 0}
+
+    def failing_iram(X, H, n_target):
+        calls["n"] += 1
+        Xn, Hn, n, _ok = orig(X, H, n_target)
+        return Xn, Hn, n, jnp.asarray(False)  # filter "failed"
+
+    monkeypatch.setattr(eigs_mod, "iram_restart", failing_iram)
+    evals, evecs, res, info, meta = lk.eigs(
+        op, 6, x0=x0, kdim=16, tolerance=1e-9,
+        options=lk.EigsOptions(projected="device", maxiter=100))
+    # the driver stopped trusting IRAM after 2 consecutive failures...
+    assert calls["n"] == 2
+    # ...and still converged through the Schur restart path
+    assert meta.converged
+    for lam in np.asarray(evals):
+        assert np.min(np.abs(exact - lam)) < 1e-7
+
+
+def test_adaptive_stride_selection():
+    """The adaptive device-check cadence picks a long stride when matvecs
+    are cheap relative to the projected solve and per-step checks when the
+    matvec dominates (VERDICT r4 item 7)."""
+    from lightkrylov_tpu.solvers.eigs import _AdaptiveStride
+
+    # cheap matvec (t_step 0.5 ms) vs expensive check (20 ms)
+    a = _AdaptiveStride(40, "eigs")
+    assert a.next_stride() == a.DEFAULT       # compile cycle
+    a.record(99.0, 40, a.DEFAULT)             # discarded (compile)
+    s1 = a.next_stride()
+    assert s1 == 1
+    a.record(40 * (0.0005 + 0.020), 40, s1)   # stride-1 probe
+    s2 = a.next_stride()
+    assert s2 == 8
+    a.record(40 * 0.0005 + 5 * 0.020, 40, s2)  # stride-8 probe
+    assert 30 <= a.next_stride() <= 40         # ~t_check/t_step = 40
+
+    # expensive matvec (55 ms) vs 20 ms check -> per-step-ish cadence
+    b = _AdaptiveStride(40, "eigs")
+    b.record(99.0, 40, b.DEFAULT)
+    b.record(40 * (0.055 + 0.020), 40, 1)
+    b.record(40 * 0.055 + 5 * 0.020, 40, 8)
+    assert b.next_stride() == 1
+
+    # check measured free -> per-step
+    c = _AdaptiveStride(40, "eigs")
+    c.record(99.0, 40, c.DEFAULT)
+    c.record(40 * 0.010, 40, 1)
+    c.record(40 * 0.010, 40, 8)
+    assert c.next_stride() == 1
+
+
+def test_final_recheck_sharpens_f32_floor(rng):
+    """f32 device path with a tolerance below the f32 projected-residual
+    floor (~eps_f32 * sigma_max): without the final f64 host recheck the
+    solver reports non-convergence; the recheck settles it (VERDICT r4
+    item 1 — the flagship's svds/GL flag flapping)."""
+    m = 48
+    # well-separated spectrum scaled so the f32 projected-residual floor
+    # (~eps_f32 * coupling ~ 1e-4) sits well ABOVE the tolerance
+    qa, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    qb, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    s_true = 3e3 * 0.5 ** np.arange(m)
+    Am = (qa * s_true) @ qb.T
+    op = lk.DenseOperator(jnp.asarray(Am.astype(np.float32)))
+    u0 = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    U, S, V, res, info, meta = lk.svds(
+        op, 3, u0=u0, kdim=24, tolerance=1e-5,
+        options=lk.SVDSOptions(projected="device", maxiter=6))
+    assert info > 0 and meta.converged
+    assert np.max(np.abs(np.asarray(S) - s_true[:3]) / s_true[0]) < 1e-5
