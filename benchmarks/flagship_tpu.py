@@ -70,7 +70,7 @@ def main():
     from lightkrylov_tpu.models import (
         GinzburgLandauReal, GLPropagator,
         Poisson2D, BlockJacobiPoisson, upo_system, flow)
-    from lightkrylov_tpu.utils.options import CGOptions
+    from lightkrylov_tpu.utils.options import CGOptions, SVDSOptions
 
     res = {"ts": time.strftime("%Y-%m-%d %H:%M:%S"), "probe": "flagship",
            "device_kind": jax.devices()[0].device_kind}
@@ -102,20 +102,32 @@ def main():
         gl = GinzburgLandauReal(nx=nx, dtype=jnp.float32)
         prop = GLPropagator(gl, tau=tau, n_steps=10)
         x0 = jnp.asarray(rng.standard_normal((2, nx)).astype(np.float32))
-        # 2e-6: the fused device path computes Ritz residuals in f32,
-        # where the last pair's residual floors at ~1.2e-6 (the host path
-        # evaluated them in f64 from the fetched H and certified 1e-6).
-        # The stopping tol is not the validation metric — backward error
-        # vs kappa-budgeted anchors is asserted below either way.
-        tol = 2e-6
+        # 5e-6: ~4x above the f32 device-path residual floor (~1.2e-6 for
+        # the last pair at kdim=40), so the converged count cannot flap on
+        # run-to-run f32 jitter (r4 recorded n_conv in {14, 15, 16} at the
+        # old 2e-6); the solver's final f64 host recheck backstops any
+        # remaining straddle.  The stopping tol is not the validation
+        # metric — backward error vs kappa-budgeted anchors is asserted
+        # below either way.
+        tol = 5e-6
         # kdim = 2.5x the realified 2*nev: the conjugate-pair structure of
         # the realified spectrum halves the effective subspace margin, so
         # the literal 2x doubling of the reference's kdim=16 left the last
         # pair unconverged (15/16 in 250 s); 40 converges 16/16 in 43 s
         # (chip sweep, results_tpu.json probe "gl_kdim_sweep").
-        evals, evecs, resid, info, meta = lk.eigs(
-            prop, 2 * nev, x0=x0, kdim=40, tolerance=tol,
-            options=lk.EigsOptions(maxiter=200))
+        def solve():
+            return lk.eigs(prop, 2 * nev, x0=x0, kdim=40, tolerance=tol,
+                           options=lk.EigsOptions(maxiter=200))
+
+        t0 = time.perf_counter()
+        evals, evecs, resid, info, meta = solve()
+        t_first = time.perf_counter() - t0
+        # warm solve-only timing (VERDICT r4 weak #3: headline numbers must
+        # come from a recorded artifact): second solve reuses every
+        # compiled executable
+        t0 = time.perf_counter()
+        evals, evecs, resid, info, meta = solve()
+        t_warm = time.perf_counter() - t0
         resid = np.asarray(resid)
         conv = resid < tol
         n_conv = int(conv.sum())
@@ -150,11 +162,15 @@ def main():
             per_anchor.append(d)
             budgets.append(min(0.5, max(2e-3, 5e-5 * kappa)))
         max_res = max(true_res)
-        log(f"GL eigs nx=512 realified f32: info={info} conv={n_conv}/16; "
+        log(f"GL eigs nx=512 realified f32: info={info} conv={n_conv}/16 "
+            f"solve_warm {t_warm:.1f}s (first incl. compile {t_first:.1f}s); "
             f"max true eigen-residual {max_res:.2e}; anchor devs "
             f"{['%.1e' % d for d in per_anchor]}")
         out = {"info": int(info), "formulation": "realified-f32",
                "n_conv": n_conv,
+               "solve_warm_s": round(t_warm, 2),
+               "solve_first_incl_compile_s": round(t_first, 2),
+               "n_matvecs": int(meta.n_iter),
                "max_true_eigen_residual": max_res,
                "true_eigen_residuals_converged": true_res,
                "true_eigen_residuals_all": res_all,
@@ -164,7 +180,10 @@ def main():
                "eigvals_im": [float(l.imag) for l in lam_all],
                "converged_mask": [bool(c) for c in conv],
                "ritz_residuals": [float(r) for r in resid]}
-        assert n_conv >= 12, f"only {n_conv}/16 realified pairs converged"
+        # tightened from >= 12 (VERDICT r4 item 1): with the margin-based
+        # tolerance + final f64 recheck, full convergence is the invariant
+        assert info > 0, f"eigs reported non-convergence: info={info}"
+        assert n_conv >= 16, f"only {n_conv}/16 realified pairs converged"
         assert max_res < 5e-3, \
             f"true eigen-residual beyond the f32 floor: {max_res:.2e}"
         for k, (d, b) in enumerate(zip(per_anchor, budgets)):
@@ -266,14 +285,19 @@ def main():
         m = 48
         cd = ConvectionDiffusion2D(m, dtype=jnp.float32)
         u0 = jnp.ones((m, m), jnp.float32)
-        # tolerance sits ABOVE the honest f32 residual floor
-        # eps_f32 * sigma_max ~ 1e-3 for this operator (||A|| ~ 1/h^2):
-        # the fused device path computes projected residuals in f32, where
-        # the old 1e-4 only "converged" because the host path did the
-        # projected SVD in f64.  Accuracy is asserted vs the dense oracle
-        # below either way.
+        # r4 recorded info flapping in {-3, -1, +4}.  Root cause (measured
+        # on CPU, identical residual trajectories f32/f64 and host/device):
+        # the operator's top singular values are clustered within 0.3%
+        # (191.91, 191.70, 191.63, 191.43, ...), so the thick-restarted
+        # Golub-Kahan at kdim=20 needs 21 cycles to push all 4 residuals
+        # under 5e-3 — exactly ONE past the default maxiter=20; run-to-run
+        # compile jitter around that boundary produced the flap.  kdim=30
+        # converges in 12 cycles; maxiter=40 leaves a >3x cycle margin,
+        # and the solver's final f64 host recheck backstops any residual
+        # straddle.  Accuracy is asserted vs the dense oracle either way.
         U, S, V, sres, sinfo, _ = lk.svds(
-            cd, 4, u0=u0, kdim=20, tolerance=5e-3)
+            cd, 4, u0=u0, kdim=30, tolerance=5e-3,
+            options=SVDSOptions(maxiter=40))
         Ad = np.asarray(cd.dense()) if hasattr(cd, "dense") else None
         if Ad is not None:
             s_ref = np.linalg.svd(Ad, compute_uv=False)[:4]
@@ -294,6 +318,9 @@ def main():
             f"kexpm vs dense expm rel err={k_err:.2e} (info={kinfo})")
         out = {"svds_info": int(sinfo), "svds_sigma_relerr": s_err,
                "kexpm_relerr": k_err, "kexpm_info": int(kinfo)}
+        # VERDICT r4 item 1: a flapping convergence flag is a fail — the
+        # library verdict itself must be positive, not just the accuracy
+        assert sinfo > 0, f"svds reported non-convergence: info={sinfo}"
         assert s_err < 1e-3 and k_err < 1e-4
         return out
 
