@@ -190,7 +190,7 @@ def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose,
                     | (info != 0))
         wr, wi, res, Vr, Vi, n_conv, ok = jax.lax.cond(
             do_check,
-            lambda a: hessenberg_ritz(a[0], a[1], tol),
+            lambda a: hessenberg_ritz(a[0], a[1], tol, nev),
             lambda a: a[2], (H, k_eff, (wr, wi, res, Vr, Vi, n_conv, ok)))
         # fatal NaN: n_conv is meaningless — zero it so the caller's
         # convergence logic can't act on it (cond exits via info != 0)
@@ -334,6 +334,13 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     (negative if not converged within ``maxiter`` restart cycles)
     (reference: ``eigs``, IterativeSolvers.fypp:971-1143).
 
+    Documented deviation: convergence counts the LEADING ``nev`` Ritz
+    values (modulus-descending — the ones actually returned), where the
+    reference counts over the whole spectrum (:1087-1092) and can
+    therefore return a leading pair whose residual still exceeds ``tol``
+    because a trailing pair made up the count.  Here ``info = nev``
+    guarantees every returned pair meets the tolerance.
+
     ``options.checkpoint_every``/``checkpoint_path`` persist the
     factorization state ``(X, H, kstart, cycle, niter)`` at sweep/restart
     boundaries; ``resume_from=`` restores it and continues the run
@@ -462,7 +469,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
                 r = _ritz_residuals(Hh, V, k_eff)
                 order = np.argsort(-np.abs(w))
                 w, V, r = w[order], V[:, order], r[order]
-                n_conv = int(np.sum(r < tol))
+                n_conv = int(np.sum(r[:nev] < tol))
                 evecs, evecs_device = V, None
             if ainfo > 0:
                 invariant = True  # residuals are exactly zero (beta = 0)
@@ -548,7 +555,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
                 invariant = True
             order = np.argsort(-np.abs(w))
             w, V, r = w[order], V[:, order], r[order]
-            n_conv = int(np.sum(r < tol))
+            n_conv = int(np.sum(r[:nev] < tol))
             res_history.append(r[: min(nev, len(r))].copy())
             if opts.write_intermediate and constants.io_rank():
                 _write_intermediate(opts.outpost, w, r)
@@ -595,7 +602,7 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
             r = _ritz_residuals(Hh, V, k_final)
             order = np.argsort(-np.abs(w))
             w, V, r = w[order], V[:, order], r[order]
-            n_conv2 = int(np.sum(r < tol))
+            n_conv2 = int(np.sum(r[:nev] < tol))
             if n_conv2 > n_conv:
                 log_information(
                     f"eigs: final f64 host recheck sharpened the converged "

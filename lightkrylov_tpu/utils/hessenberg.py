@@ -775,7 +775,7 @@ def hessenberg_eigvecs(H, wr, wi, k_eff=None):
 
 @jax.jit
 @_full_precision
-def hessenberg_ritz(H_ext, k_eff, tol):
+def hessenberg_ritz(H_ext, k_eff, tol, nev=None):
     """Device-side Ritz analysis of the extended Hessenberg buffer: the
     full projected eigensolve + residuals + convergence count of one eigs
     check, with no host round-trip.
@@ -787,6 +787,13 @@ def hessenberg_ritz(H_ext, k_eff, tol):
     never count as converged.  Residuals are the reference's
     ``|beta| * |last eigvec component|`` (IterativeSolvers.fypp:1069-1083)
     with ``beta = H_ext[k_eff, k_eff-1]``.
+
+    ``n_conv`` counts converged residuals among the LEADING ``nev``
+    (post-sort) entries — deliberately stricter than the reference's
+    whole-spectrum count (IterativeSolvers.fypp:1087-1092), which can
+    declare convergence while a *returned* leading pair still sits above
+    tol (a trailing converged pair makes up the count).  ``nev = None``
+    reproduces the whole-spectrum count.
     """
     H_ext = jnp.asarray(H_ext)
     kdim = H_ext.shape[1]
@@ -802,5 +809,7 @@ def hessenberg_ritz(H_ext, k_eff, tol):
     order = jnp.argsort(-(wr * wr + wi * wi))
     wr, wi, res = wr[order], wi[order], res[order]
     Vr, Vi = Vr[:, order], Vi[:, order]
-    n_conv = jnp.sum(jnp.where(jnp.isfinite(res), res < tol, False))
+    lead = (jnp.arange(kdim)
+            < jnp.asarray(kdim if nev is None else nev, jnp.int32))
+    n_conv = jnp.sum(jnp.where(lead & jnp.isfinite(res), res < tol, False))
     return wr, wi, res, Vr, Vi, n_conv.astype(jnp.int32), ok

@@ -83,7 +83,11 @@ class EigsOptions:
     #: Francis QR + inverse-iteration eigvecs (utils/hessenberg.py) fused
     #: into the Arnoldi sweep — per-STEP convergence checks at zero host
     #: round-trips (real dtypes only); "auto" = device on TPU, host
-    #: elsewhere.
+    #: elsewhere.  Device mode also runs every RESTART on device: the
+    #: IRAM exact-shift filter for the default selector, the jitted
+    #: Schur + ordschur path (schur_real/ordschur_device) for custom
+    #: selectors and the post-restart arrow form; host LAPACK remains the
+    #: automatic fallback on filter/swap failure.
     projected: str = "auto"
 
 
