@@ -17,7 +17,7 @@ This umbrella module re-exports the public API, mirroring the reference's
 ``LightKrylov`` module (src/LightKrylov.fypp — ~121 public symbols).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 from . import constants
 from .constants import atol, rtol, get_rank, get_comm_size, io_rank
