@@ -25,7 +25,8 @@ from ..utils.timer import count_applications, time_lightkrylov, timed_fn
 from .gram_schmidt import double_gram_schmidt_step
 from .qr import qr as _qr
 
-__all__ = ["arnoldi", "arnoldi_step", "initialize_arnoldi"]
+__all__ = ["arnoldi", "arnoldi_block", "arnoldi_block_step", "arnoldi_step",
+           "initialize_arnoldi", "initialize_arnoldi_block"]
 
 
 def _count_steps(A, info, kstart, kend, n_per_step, kind):
@@ -57,6 +58,33 @@ def initialize_arnoldi(x0, kdim: int):
     x0n = vectors.scal(1.0 / vectors.norm(x0), x0)
     X = vectors.set_column(X, 0, x0n)
     H = jnp.zeros((kdim + 1, kdim), dt)
+    return X, H
+
+
+@partial(jax.jit, static_argnames=("kdim", "p"))
+def initialize_arnoldi_block(x0, kdim: int, p: int, key=None):
+    """Allocate the ``(kdim + p)``-column basis buffer and
+    ``(kdim + p, kdim)`` block Hessenberg, seeding the first block with
+    ``x0`` plus ``p - 1`` random directions, orthonormalized by CGS2 QR
+    (so column 0 spans ``x0`` exactly — the QR of ``[x0, r_1, ..]`` keeps
+    the first column's direction).  Block counterpart of
+    :func:`initialize_arnoldi` (reference:
+    ``initialize_krylov_subspace``, utilities.fypp:34-48, blksize p > 1).
+    """
+    dt = vectors.dtype_of(x0)
+    X = vectors.zeros_basis(x0, kdim + p)
+    if p == 1:
+        x0n = vectors.scal(1.0 / vectors.norm(x0), x0)
+        X = vectors.set_column(X, 0, x0n)
+    else:
+        seed = vectors.zeros_basis(x0, p)
+        if key is None:
+            key = vectors.default_key()
+        seed = vectors.rand_basis(key, seed)
+        seed = vectors.set_column(seed, 0, x0)
+        Q, _, _ = _qr(seed)
+        X = vectors.set_columns_block(X, 0, Q)
+    H = jnp.zeros((kdim + p, kdim), dt)
     return X, H
 
 
@@ -129,6 +157,44 @@ def arnoldi(A, X, H, kstart=1, kend=None, transpose: bool = False, tol: float | 
     return X, H, info
 
 
+def arnoldi_block_step(A, X, H, s, p: int, transpose: bool = False,
+                       tol: float = 0.0, key=None):
+    """One BLOCK Arnoldi step at COLUMN offset ``s``: the newest filled
+    block occupies columns ``s .. s+p-1``; extend the factorization by one
+    block (columns ``s+p .. s+2p-1``).
+
+    ``s`` need NOT be a multiple of ``p`` — a block Krylov-Schur restart
+    keeps exactly the selected count ``n`` and continues with block starts
+    at ``n, n+p, ...`` (offset-aligned continuation; at most ``p - 1``
+    buffer columns per cycle go unused at the ``kdim`` boundary).
+    Requires ``s <= kdim - p``.
+
+    Matvecs the newest block as one batched kernel, CGS2-projects it
+    against all ``s + p`` filled columns (filling ``H[:, s:s+p]``), then
+    intra-block QR fills the subdiagonal coupling block at
+    ``H[s+p:s+2p, s:s+p]``.  Returns ``(X, H, res)`` with ``res`` the
+    smallest ``|diag(R)|`` of the new block (the block-breakdown
+    indicator — reference: arnoldi.fypp:34-73 with blksize p > 1).
+    Jittable; ``s`` may be a traced scalar.
+    """
+    dt = vectors.dtype_of(X)
+    s = jnp.asarray(s, jnp.int32)
+    blk_in = jax.tree.map(
+        lambda l: jax.lax.dynamic_slice_in_dim(l, s, p, axis=0), X)
+    blk = A.rmatvec_basis(blk_in) if transpose else A.matvec_basis(blk_in)
+    blk, proj = double_gram_schmidt_step(blk, X, k=s + p)
+    H = jax.lax.dynamic_update_slice(H, proj.astype(dt),
+                                     (jnp.int32(0), s))
+    Q, R, _ = _qr(blk, tol=tol, key=key)
+    X = jax.tree.map(
+        lambda l, q: jax.lax.dynamic_update_slice_in_dim(
+            l, q.astype(l.dtype), s + p, axis=0),
+        X, Q)
+    H = jax.lax.dynamic_update_slice(H, R.astype(dt), (s + p, s))
+    res = jnp.min(jnp.abs(jnp.diagonal(R)))
+    return X, H, res
+
+
 @timed_fn("krylov.arnoldi_block", "BaseKrylov")
 def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
                   tol: float | None = None, key=None):
@@ -166,24 +232,9 @@ def arnoldi_block(A, X, H, p: int, kstart=1, kend=None, transpose: bool = False,
 
     def body(carry):
         X, H, b, info = carry
-        # matvec the whole block at once (one batched kernel / MXU GEMM)
-        blk_in = jax.tree.map(
-            lambda l: jax.lax.dynamic_slice_in_dim(l, b * p, p, axis=0), X)
-        blk = A.rmatvec_basis(blk_in) if transpose else A.matvec_basis(blk_in)
-        # active-prefix CGS2 against the (b+1)*p filled columns
-        blk, proj = double_gram_schmidt_step(blk, X, k=(b + 1) * p)
-        H = jax.lax.dynamic_update_slice(H, proj.astype(dt),
-                                         (jnp.int32(0), b * p))
-        # intra-block QR
-        Q, R, _ = _qr(blk, tol=tol, key=key)
-        X = jax.tree.map(
-            lambda l, q: jax.lax.dynamic_update_slice_in_dim(
-                l, q.astype(l.dtype), (b + 1) * p, axis=0),
-            X, Q)
-        H = jax.lax.dynamic_update_slice(H, R.astype(dt),
-                                         ((b + 1) * p, b * p))
+        X, H, res = arnoldi_block_step(A, X, H, b * p, p,
+                                       transpose=transpose, tol=tol, key=key)
         # breakdown: smallest diagonal of R below tol
-        res = jnp.min(jnp.abs(jnp.diagonal(R)))
         info = jnp.where((info == 0) & (res <= tol),
                          (b + 1) * p, info).astype(jnp.int32)
         # NaN: fatal negative info (reference: qr.fypp:72-78)

@@ -25,6 +25,8 @@ eigensolve yields the restarted Ritz values.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,8 +118,9 @@ def iram_restart(X, H, n_target):
     return X_new, H_new, n, ok
 
 
-@jax.jit
-def krylov_schur_device(X, H, sel_wr, sel_wi, sel_mask):
+@partial(jax.jit, static_argnames=("p",))
+def krylov_schur_device(X, H, sel_wr, sel_wi, sel_mask, p: int = 1,
+                        k_eff=None):
     """Fully on-device Krylov-Schur restart for an ARBITRARY selection —
     the device-mode counterpart of :func:`krylov_schur` (reference:
     BaseKrylov.fypp:714-837) for real dtypes, with the host LAPACK
@@ -147,39 +150,82 @@ def krylov_schur_device(X, H, sel_wr, sel_wi, sel_mask):
     exact factorization, but compressed onto a partially reordered (hence
     possibly unintended) subspace; callers should then route the NEXT
     restart to the host path.
+
+    ``p > 1`` (static) restarts a BLOCK Arnoldi factorization (buffer
+    shapes ``kdim + p`` / ``(kdim + p, kdim)``): the coupling is the
+    ``p x p`` block ``B = H[kdim:kdim+p, kdim-p:kdim]``, the spike becomes
+    the ``p``-row block ``B @ Zs[kdim-p:, :n]``, and the ``p`` residual
+    directions (the old trailing block) move to columns ``n .. n+p-1``.
+    ``n`` is exactly the (pair-consistent) selected count, clamped to
+    ``[1, kdim - p]`` — continuation is offset-aligned (block starts at
+    ``n, n+p, ...``; ``arnoldi_block_step`` takes a column offset), the
+    block Krylov-Schur formulation.  ``k_eff`` (traced; block mode only)
+    is the active square size when the previous sweep stopped short of
+    ``kdim`` (offset continuation leaves up to ``p - 1`` columns unused
+    per cycle); the Schur step runs on the embedded active block and the
+    coupling/residual blocks are read at ``k_eff``.
     """
     kdim = H.shape[1]
     Hk = H[:kdim, :kdim]
-    T, Zs, wr, wi, ok1 = schur_real(Hk)
+    idx = jnp.arange(kdim)
+    if p == 1 or k_eff is None:
+        ke = jnp.int32(kdim)
+    else:
+        ke = jnp.asarray(k_eff, jnp.int32)
+    T, Zs, wr, wi, ok1 = schur_real(Hk, k_eff=None if p == 1 else ke)
     # nearest-by-value mask transfer onto the Schur diagonal positions
     d = ((wr[:, None] - sel_wr[None, :]) ** 2
          + (wi[:, None] - sel_wi[None, :]) ** 2)
     sel = jnp.asarray(sel_mask, bool)[jnp.argmin(d, axis=1)]
+    if p > 1:
+        sel = sel & (idx < ke)  # inactive (embedded-identity) positions
     T, Zs, sel, ok2 = ordschur_device(T, Zs, sel)
-    # clamp the keep count to [1, kdim-1] without splitting a 2x2 block
     n = jnp.sum(sel).astype(jnp.int32)
-    n = jnp.where(n < 1,
-                  jnp.where(T[1, 0] != 0, 2, 1).astype(jnp.int32), n)
-    n = jnp.where(n > kdim - 1,
-                  jnp.where(T[kdim - 1, kdim - 2] != 0,
-                            kdim - 2, kdim - 1).astype(jnp.int32), n)
+    if p == 1:
+        # clamp the keep count to [1, kdim-1] without splitting a 2x2 block
+        n = jnp.where(n < 1,
+                      jnp.where(T[1, 0] != 0, 2, 1).astype(jnp.int32), n)
+        n = jnp.where(n > kdim - 1,
+                      jnp.where(T[kdim - 1, kdim - 2] != 0,
+                                kdim - 2, kdim - 1).astype(jnp.int32), n)
+    else:
+        # keep EXACTLY the selected count (pair-consistency guarantees n
+        # never splits a 2x2 block); clamp to [1, min(ke, kdim - p)] so at
+        # least one continuation block step fits
+        n = jnp.where(n < 1,
+                      jnp.where(T[1, 0] != 0, 2, 1).astype(jnp.int32), n)
+        hi = jnp.minimum(ke - 1, jnp.int32(kdim - p))
+        n = jnp.where(n > hi,
+                      jnp.where(T[hi, hi - 1] != 0, hi - 1, hi
+                                ).astype(jnp.int32), n)
 
-    idx = jnp.arange(kdim)
-    beta = H[kdim, kdim - 1]
     mask2 = (idx[:, None] < n) & (idx[None, :] < n)
     H_new = jnp.zeros_like(H)
     H_new = H_new.at[:kdim, :kdim].set(jnp.where(mask2, T, 0.0))
-    spike = jnp.where(idx < n, beta * Zs[kdim - 1, :], 0.0)
-    H_new = H_new.at[n, :].set(spike)
+    if p == 1:
+        beta = H[kdim, kdim - 1]
+        spike = jnp.where(idx < n, beta * Zs[kdim - 1, :], 0.0)
+        H_new = H_new.at[n, :].set(spike)
+    else:
+        z0 = jnp.zeros((), ke.dtype)
+        B = jax.lax.dynamic_slice(H, (ke, ke - p), (p, p))
+        Zl = jax.lax.dynamic_slice(Zs, (ke - p, z0), (p, kdim))
+        spike = jnp.where(idx[None, :] < n, B @ Zl, 0.0)
+        H_new = jax.lax.dynamic_update_slice(
+            H_new, spike.astype(H_new.dtype), (n, z0))
 
     Zc = jnp.where(idx[None, :] < n, Zs, 0.0)
     X_lead = jax.tree.map(lambda l: l[:kdim], X)
     Xc = vectors.linear_combination(X_lead, Zc)
-    x_res = vectors.get_column(X, kdim)
     X_new = jax.tree.map(
-        lambda c, full: jnp.concatenate([c, jnp.zeros_like(full[:1])],
-                                        axis=0), Xc, X)
-    X_new = vectors.set_column(X_new, n, x_res)
+        lambda c, full: jnp.concatenate(
+            [c, jnp.zeros_like(full[:p])], axis=0), Xc, X)
+    if p == 1:
+        X_new = vectors.set_column(X_new, n, vectors.get_column(X, kdim))
+    else:
+        res_blk = jax.tree.map(
+            lambda l: jax.lax.dynamic_slice_in_dim(l, ke, p, axis=0), X)
+        X_new = vectors.set_columns_block(X_new, n, res_blk)
     return X_new, H_new, n, ok1 & ok2
 
 

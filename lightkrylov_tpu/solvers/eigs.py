@@ -41,10 +41,16 @@ consecutive truncation-only IRAM restarts reroute to the device Schur
 path, and a rejected block swap there reroutes to host (every flag rides
 the next cycle's batched fetch).
 
-The driver — like the reference's eigs (blksize-1 Arnoldi,
-IterativeSolvers.fypp:1030) — is single-vector: block Arnoldi
-(``krylov.arnoldi_block``, reference arnoldi.fypp:34-73) has no fused
-device sweep and is available as a building block only.
+The driver defaults to single-vector Arnoldi — like the reference's eigs
+(blksize-1, IterativeSolvers.fypp:1030).  ``blksize = p > 1`` (beyond the
+reference, whose block Arnoldi exists only as a building block,
+arnoldi.fypp:34-73) runs the BLOCK driver: a fused device block sweep
+(``arnoldi_block_step`` + block-residual :func:`hessenberg_ritz` in one
+jitted ``while_loop``) with device Krylov-Schur restarts
+(``krylov_schur_device(p=p)`` keeps exactly the selected count; the
+continuation is offset-aligned, block starts at ``n, n+p, ...``) — real
+dtypes only, and better at clustered/multiple eigenvalues (one matvec
+batch of p per step rides a single MXU GEMM).
 """
 
 from __future__ import annotations
@@ -59,7 +65,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants, vectors
-from ..krylov.arnoldi import arnoldi, arnoldi_step, initialize_arnoldi
+from ..krylov.arnoldi import (arnoldi, arnoldi_block_step, arnoldi_step,
+                              initialize_arnoldi, initialize_arnoldi_block)
 from ..krylov.krylov_schur import (iram_restart, krylov_schur,
                                    krylov_schur_device, median_selector)
 from ..linops import aslinop
@@ -205,6 +212,59 @@ def _fused_sweep(A, X, H, kstart, kend, nev, tol, btol, transpose,
     return jax.lax.while_loop(cond, body, init)
 
 
+@partial(jax.jit, static_argnames=("transpose", "p"))
+def _fused_sweep_block(A, X, H, s0, nev, tol, btol, transpose, p, stride=1):
+    """Block counterpart of :func:`_fused_sweep`: ``arnoldi_block_step`` +
+    block-residual :func:`hessenberg_ritz` in one jitted ``while_loop``,
+    iterating over COLUMN offsets ``s0, s0 + p, ...`` while
+    ``s <= kdim - p`` (offset-aligned continuation: a restart keeps
+    exactly the selected count, so ``s0`` need not be a block multiple;
+    up to ``p - 1`` trailing buffer columns per cycle go unused).
+
+    After the step at offset ``s`` the projected square has ``s + p``
+    active columns — that is the ``k_eff`` fed to the Ritz check.
+    Breakdown: smallest ``|diag R|`` of the new block below ``btol`` ->
+    ``info = s + p`` (processed-column count, as ``arnoldi_block``);
+    NaN -> negative.  Returns
+    ``(X, H, s_final, info, n_conv, wr, wi, res, Vr, Vi, ok)`` — the
+    final active square size is ``info`` on breakdown else ``s_final``,
+    and ``s_final - s0`` is the matvec count of the sweep.
+    """
+    kdim = H.shape[1]
+    rdt = H.dtype
+    s0 = jnp.asarray(s0, jnp.int32)
+    nev = jnp.asarray(nev, jnp.int32)
+    stride = jnp.asarray(stride, jnp.int32)
+
+    def cond(c):
+        s, info, n_conv = c[2], c[3], c[4]
+        return (s <= kdim - p) & (info == 0) & (n_conv < nev)
+
+    def body(c):
+        X, H, s, info, n_conv, wr, wi, res, Vr, Vi, ok = c
+        X, H, rmin = arnoldi_block_step(A, X, H, s, p, transpose=transpose,
+                                        tol=btol)
+        info = jnp.where(rmin <= btol, s + p, info).astype(jnp.int32)
+        info = jnp.where(jnp.isnan(rmin), -(s + 1), info).astype(jnp.int32)
+        k_eff = jnp.where(info > 0, info, s + p).astype(jnp.int32)
+        n_steps = (s + p - s0) // p
+        do_check = ((n_steps % stride == 0) | (s + p > kdim - p)
+                    | (info != 0))
+        wr, wi, res, Vr, Vi, n_conv, ok = jax.lax.cond(
+            do_check,
+            lambda a: hessenberg_ritz(a[0], a[1], tol, nev, p=p),
+            lambda a: a[2], (H, k_eff, (wr, wi, res, Vr, Vi, n_conv, ok)))
+        n_conv = jnp.where(info < 0, jnp.int32(0), n_conv)
+        return X, H, s + p, info, n_conv, wr, wi, res, Vr, Vi, ok
+
+    init = (X, H, s0, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros(kdim, rdt),
+            jnp.zeros(kdim, rdt), jnp.full((kdim,), jnp.inf, rdt),
+            jnp.zeros((kdim, kdim), rdt), jnp.zeros((kdim, kdim), rdt),
+            jnp.asarray(False))
+    return jax.lax.while_loop(cond, body, init)
+
+
 class _AdaptiveStride:
     """Device-mode convergence-check cadence (the reference checks every
     step, IterativeSolvers.fypp:1057-1092; on device each in-loop projected
@@ -324,7 +384,8 @@ def _resume_driver_state(template: dict, path: str) -> dict:
 @timed_fn("eigs", "IterativeSolvers")
 def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None = None,
          transpose: bool = False, select=None, options: EigsOptions | None = None,
-         key=None, check_every: int | None = None, resume_from: str | None = None):
+         key=None, check_every: int | None = None, resume_from: str | None = None,
+         blksize: int = 1):
     """Leading eigenpairs of a general square operator ->
     ``(eigvals, eigvecs, residuals, info, metadata)``.
 
@@ -345,6 +406,12 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     factorization state ``(X, H, kstart, cycle, niter)`` at sweep/restart
     boundaries; ``resume_from=`` restores it and continues the run
     (``x0`` then only supplies the buffer template/shardings).
+
+    ``blksize = p > 1`` switches to the BLOCK Arnoldi driver (beyond the
+    reference, whose eigs is blksize-1, IterativeSolvers.fypp:1030): fused
+    device block sweeps with device Krylov-Schur restarts.  Real dtypes
+    only; ``kdim`` is rounded up to a multiple of ``p``;
+    checkpoint/resume is not supported in block mode.
     """
     A = aslinop(A)
     opts = options or EigsOptions()
@@ -352,6 +419,9 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
         kdim = opts.kdim or 4 * nev  # (reference: :1023)
     if x0 is None:
         raise ValueError("eigs requires x0 (a template/seed vector)")
+    if blksize > 1:
+        return _eigs_block(A, nev, x0, kdim, tolerance, transpose, select,
+                           opts, key, check_every, resume_from, blksize)
     dt = vectors.dtype_of(x0)
     rdt = constants.real_dtype_of(dt)
     cdt = np.dtype(np.complex64) if np.dtype(rdt) == np.float32 else np.dtype(np.complex128)
@@ -642,6 +712,203 @@ def eigs(A, nev: int, x0=None, kdim: int | None = None, tolerance: float | None 
     # eigenvalues/residuals are host-computed scalars: return them as numpy
     # (avoids a pointless H2D round-trip, and complex D2H is unimplemented
     # on the axon PJRT plugin).
+    return (
+        evals[:nev_out].astype(cdt),
+        ritz_vecs,
+        res[:nev_out].astype(rdt),
+        info,
+        meta,
+    )
+
+
+def _block_host_ritz(Hh, k_eff, p, nev, tol):
+    """Host Ritz analysis of a BLOCK Arnoldi buffer: eig of the active
+    square + block residuals ``||B y_last_p||`` with
+    ``B = Hh[k:k+p, k-p:k]`` (the safety net when the device QR sweep
+    budget runs out, and the final f64 recheck)."""
+    w, V = np.linalg.eig(Hh[:k_eff, :k_eff])
+    B = Hh[k_eff:k_eff + p, k_eff - p:k_eff]
+    r = np.linalg.norm(B @ V[-p:, :], axis=0)
+    order = np.argsort(-np.abs(w))
+    w, V, r = w[order], V[:, order], r[order]
+    n_conv = int(np.sum(r[:nev] < tol))
+    return w, V, r, n_conv
+
+
+def _eigs_block(A, nev, x0, kdim, tolerance, transpose, select, opts, key,
+                check_every, resume_from, p):
+    """Block-Arnoldi eigs driver (``blksize = p > 1``): the device-fused
+    path of :func:`eigs` generalized to blocks — ``_fused_sweep_block``
+    per cycle + ``krylov_schur_device(p=p)`` restarts (exact selected
+    count, offset-aligned continuation), with an explicit restart (reseed
+    from the leading Ritz direction) as the safety net when a Schur block
+    swap is rejected.  Runs the same fused machinery on every backend
+    (the host projected path has no block form).  Real dtypes only.
+    """
+    if resume_from is not None or opts.checkpoint_every:
+        raise NotImplementedError(
+            "eigs(blksize>1): checkpoint/resume is not supported in block "
+            "mode — use blksize=1 for checkpointed runs")
+    dt = vectors.dtype_of(x0)
+    if np.issubdtype(np.dtype(dt), np.complexfloating):
+        raise TypeError(
+            "eigs(blksize>1) is real-only (the device Schur machinery is "
+            "real-arithmetic by construction); realify the operator or "
+            "use blksize=1")
+    rdt = constants.real_dtype_of(dt)
+    cdt = (np.dtype(np.complex64) if np.dtype(rdt) == np.float32
+           else np.dtype(np.complex128))
+    kdim = int(-(-kdim // p) * p)  # round up to a block multiple
+    nblocks = kdim // p  # first-cycle sweep length (cadence probing)
+    tol = tolerance if tolerance is not None else constants.rtol(rdt)
+    if select is None:
+        select = median_selector
+    if check_every is None:
+        check_every = 0
+
+    seed = x0
+    if float(vectors.norm(seed)) == 0.0:
+        seed = vectors.rand_like(key if key is not None
+                                 else vectors.default_key(), x0)
+    init_key = key if key is not None else vectors.default_key(1)
+    X, H = initialize_arnoldi_block(seed, kdim, p, key=init_key)
+
+    s0 = 0  # column offset of the newest filled block
+    n_conv = 0
+    niter = 0
+    res_history = []
+    evals = evecs = res = None
+    evecs_device = None
+    invariant = False
+    k_final = 0
+    btol = constants.atol(rdt)
+    pending_flags = []
+    device_ks_ok = True
+    adapt = (_AdaptiveStride(nblocks, "eigs-block")
+             if check_every == 0 else None)
+
+    for cycle in range(opts.maxiter):
+        dstride = check_every if check_every >= 1 else adapt.next_stride()
+        t_cycle0 = time.perf_counter()
+        X, H, s_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, Vr, Vi, dok = \
+            _fused_sweep_block(A, X, H, s0, nev, tol, btol,
+                               transpose, p, stride=dstride)
+        fetch = [s_dev, ainfo_d, nconv_d, wr_d, wi_d, res_d, dok,
+                 s0] + [f for _, f in pending_flags]
+        out = jax.device_get(tuple(fetch))
+        (s_fin, ainfo, n_conv, wr_h, wi_h, r_all, dok_h, s0_h) = out[:8]
+        s_fin, ainfo, n_conv = int(s_fin), int(ainfo), int(n_conv)
+        s0_h = int(s0_h)
+        if adapt is not None:
+            adapt.record(time.perf_counter() - t_cycle0,
+                         (s_fin - s0_h) // p, dstride)
+        for (kind, _), v in zip(pending_flags, out[8:]):
+            if kind == "ks" and not bool(v):
+                device_ks_ok = False
+                log_warning(
+                    "eigs(block): device Schur restart unhealthy (rejected "
+                    "block swap); restarting explicitly",
+                    "solvers", "eigs")
+        pending_flags = []
+        check_info(ainfo, "arnoldi", "solvers", "eigs")
+        k_eff = ainfo if ainfo > 0 else s_fin
+        niter += s_fin - s0_h
+        count_applications(A, s_fin - s0_h,
+                           "rmatvec" if transpose else "matvec")
+        if bool(dok_h) or k_eff == 0:
+            w = (np.asarray(wr_h) + 1j * np.asarray(wi_h))[:k_eff]
+            r = np.asarray(r_all)[:k_eff]
+            evecs_device = (Vr, Vi)
+            evecs = None
+        else:
+            log_warning("eigs(block): device Hessenberg QR did not "
+                        "converge; host fallback for this check",
+                        "solvers", "eigs")
+            Hh = np.asarray(jax.device_get(H))
+            w, V, r, n_conv = _block_host_ritz(Hh, k_eff, p, nev, tol)
+            evecs, evecs_device = V, None
+        if ainfo > 0:
+            invariant = True  # block breakdown: subspace (near-)invariant
+        res_history.append(r[: min(nev, len(r))].copy())
+        if opts.write_intermediate and constants.io_rank():
+            _write_intermediate(opts.outpost, w, r)
+        evals, res, k_final = w, r, k_eff
+        if n_conv >= nev or invariant:
+            break
+        if cycle < opts.maxiter - 1:
+            if device_ks_ok and bool(dok_h):
+                w_act = (np.asarray(wr_h) + 1j * np.asarray(wi_h))[:k_eff]
+                mask = np.zeros(kdim, bool)
+                mask[:k_eff] = np.asarray(select(w_act), bool)
+                X, H, n_dev, ksok = krylov_schur_device(
+                    X, H, wr_d, wi_d, jnp.asarray(mask), p=p,
+                    k_eff=jnp.asarray(k_eff, jnp.int32))
+                pending_flags.append(("ks", ksok))
+                s0 = n_dev  # continuation is offset-aligned
+                log_information(
+                    f"eigs(block): device Schur restart cycle {cycle + 1}, "
+                    f"{n_conv}/{nev} converged", "solvers", "eigs")
+            else:
+                # explicit restart: reseed the block buffer from the
+                # leading Ritz direction (always exact; loses subspace
+                # history — only the safety net lands here)
+                if evecs_device is not None:
+                    Vr_d, _ = evecs_device
+                    lead_basis = vectors.lead(X, kdim)
+                    seed_b = vectors.linear_combination(
+                        lead_basis, Vr_d[:, :1])
+                    v = vectors.get_column(seed_b, 0)
+                else:
+                    buf = np.zeros((kdim, 1), dtype=np.dtype(rdt))
+                    buf[:k_eff, 0] = np.real(evecs[:, 0])
+                    seed_b = vectors.linear_combination(
+                        vectors.lead(X, kdim), jnp.asarray(buf))
+                    v = vectors.get_column(seed_b, 0)
+                X, H = initialize_arnoldi_block(v, kdim, p, key=init_key)
+                s0 = 0
+                device_ks_ok = True  # fresh factorization, try again
+                log_information(
+                    f"eigs(block): explicit restart cycle {cycle + 1}, "
+                    f"{n_conv}/{nev} converged", "solvers", "eigs")
+
+    if (n_conv < nev and not invariant and evecs is None
+            and evecs_device is not None):
+        # final f64 host recheck (same rationale as the blksize-1 path)
+        Hh = np.asarray(jax.device_get(H)).astype(np.float64)
+        if k_final > 0:
+            w, V, r, n_conv2 = _block_host_ritz(Hh, k_final, p, nev, tol)
+            if n_conv2 > n_conv:
+                log_information(
+                    f"eigs(block): final f64 host recheck sharpened the "
+                    f"converged count {n_conv} -> {n_conv2}",
+                    "solvers", "eigs")
+                evals, evecs, res = w, V, r
+                evecs_device = None
+                n_conv = n_conv2
+                res_history.append(r[: min(nev, len(r))].copy())
+
+    converged = n_conv >= nev or invariant
+    if not converged:
+        log_warning(f"eigs(block): only {n_conv}/{nev} pairs converged",
+                    "solvers", "eigs")
+
+    nev_out = min(nev, len(evals))
+    coeffs = np.zeros((kdim, nev_out), dtype=cdt)
+    if evecs is None and evecs_device is not None:
+        Vr_h, Vi_h = jax.device_get(evecs_device)
+        coeffs[:, :] = (np.asarray(Vr_h)
+                        + 1j * np.asarray(Vi_h))[:, :nev_out]
+    else:
+        coeffs[:k_final, :] = evecs[:, :nev_out]
+    X_lead = vectors.lead(X, kdim)
+    ritz_vecs = _reconstruct(X_lead, coeffs)
+
+    info = n_conv if converged else -n_conv
+    check_info(info if not converged else niter, "eigs", "solvers", "eigs")
+    meta = SolverMetadata(
+        converged=converged, n_iter=niter, n_inner=niter, info=info,
+        residuals=np.concatenate(res_history) if res_history else np.zeros(0),
+    )
     return (
         evals[:nev_out].astype(cdt),
         ritz_vecs,

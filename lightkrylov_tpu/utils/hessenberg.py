@@ -773,9 +773,9 @@ def hessenberg_eigvecs(H, wr, wi, k_eff=None):
     return Vr, Vi
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("p",))
 @_full_precision
-def hessenberg_ritz(H_ext, k_eff, tol, nev=None):
+def hessenberg_ritz(H_ext, k_eff, tol, nev=None, p: int = 1):
     """Device-side Ritz analysis of the extended Hessenberg buffer: the
     full projected eigensolve + residuals + convergence count of one eigs
     check, with no host round-trip.
@@ -794,6 +794,14 @@ def hessenberg_ritz(H_ext, k_eff, tol, nev=None):
     declare convergence while a *returned* leading pair still sits above
     tol (a trailing converged pair makes up the count).  ``nev = None``
     reproduces the whole-spectrum count.
+
+    ``p > 1`` (static) handles a BLOCK Arnoldi buffer of shape
+    ``(kdim + p, kdim)``: the interior eigensolve is unchanged (the
+    Householder pre-reduction accepts the band-Hessenberg form), and the
+    residual generalizes to ``||B y_last||`` with
+    ``B = H_ext[k:k+p, k-p:k]`` the subdiagonal coupling block and
+    ``y_last`` the trailing ``p`` eigenvector components (reference
+    residual with blksize p: arnoldi.fypp:34-73 coupling).
     """
     H_ext = jnp.asarray(H_ext)
     kdim = H_ext.shape[1]
@@ -801,11 +809,20 @@ def hessenberg_ritz(H_ext, k_eff, tol, nev=None):
     k_eff = jnp.asarray(k_eff, jnp.int32)
     wr, wi, ok = hessenberg_eigvals(H, k_eff)
     Vr, Vi = hessenberg_eigvecs(H, wr, wi, k_eff)
-    km1 = jnp.maximum(k_eff - 1, 0)
-    beta = jnp.abs(H_ext[k_eff, km1])
-    last = jnp.sqrt(Vr[km1, :] ** 2 + Vi[km1, :] ** 2)
     active = jnp.arange(kdim) < k_eff
-    res = jnp.where(active & ok, beta * last, jnp.inf)
+    if p == 1:
+        km1 = jnp.maximum(k_eff - 1, 0)
+        beta = jnp.abs(H_ext[k_eff, km1])
+        last = jnp.sqrt(Vr[km1, :] ** 2 + Vi[km1, :] ** 2)
+        res = jnp.where(active & ok, beta * last, jnp.inf)
+    else:
+        z0 = jnp.zeros((), k_eff.dtype)
+        kmp = jnp.maximum(k_eff - p, 0)
+        B = jax.lax.dynamic_slice(H_ext, (k_eff, kmp), (p, p))
+        Vr_l = jax.lax.dynamic_slice(Vr, (kmp, z0), (p, kdim))
+        Vi_l = jax.lax.dynamic_slice(Vi, (kmp, z0), (p, kdim))
+        res = jnp.sqrt(jnp.sum((B @ Vr_l) ** 2 + (B @ Vi_l) ** 2, axis=0))
+        res = jnp.where(active & ok, res, jnp.inf)
     order = jnp.argsort(-(wr * wr + wi * wi))
     wr, wi, res = wr[order], wi[order], res[order]
     Vr, Vi = Vr[:, order], Vi[:, order]

@@ -41,3 +41,18 @@ def dtype_dp(request):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running integration test")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Work around an XLA-CPU compiler crash (jax 0.9.0): after a few
+    hundred in-process compilations the NEXT `backend_compile_and_load`
+    segfaults/aborts inside LLVM, regardless of which computation is being
+    compiled (reproduced at the same global compile ordinal with the
+    offending test moved, reordered, and with
+    --xla_cpu_parallel_codegen_split_count=1).  Dropping the executable
+    caches between test modules keeps the in-process compilation state
+    below the trigger threshold; the cost is per-module recompilation of
+    shared helpers."""
+    yield
+    jax.clear_caches()
